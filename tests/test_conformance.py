@@ -1,0 +1,103 @@
+"""End-to-end conformance against the reference C implementation.
+
+Golden data: tests/golden/ref_*.npz, produced by tests/make_golden_spectrum.py
+running the reference transit binary on the synthetic fixtures in
+tests/fixtures/ (same line list, atmosphere, CIA table, and config).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from transit_tpu.config import TransitConfig
+from transit_tpu.model import TransitModel
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+FIX = os.path.join(HERE, "fixtures")
+GOLD = os.path.join(HERE, "golden")
+
+
+def make_config(solution, toomuch, raygrid="0 20 40 60 80"):
+    return TransitConfig(
+        atm=f"{FIX}/test.atm", linedb=f"{FIX}/test.tli",
+        csfile=f"{FIX}/test_cia.dat", molfile=f"{FIX}/molecules.dat",
+        wnlow=2000.0, wnhigh=2100.0, wndelt=1.0, wnosamp=216, wnfct=1.0,
+        ndop=15, nlor=15, dmin=1e-3, dmax=0.25, lmin=1e-4, lmax=10.0,
+        nwidth=20.0, ethreshold=1e-8, solution=solution, toomuch=toomuch,
+        raygrid=raygrid)
+
+
+@pytest.fixture(scope="module")
+def eclipse_run():
+    model = TransitModel(make_config("eclipse", 1e30))
+    return model, model.compute()
+
+
+@pytest.fixture(scope="module")
+def transit_run():
+    model = TransitModel(make_config("transit", 1e30))
+    return model, model.compute()
+
+
+class TestEclipse:
+    def test_cia(self, eclipse_run):
+        g = np.load(os.path.join(GOLD, "ref_eclipse.npz"))
+        _, res = eclipse_run
+        np.testing.assert_allclose(np.asarray(res.cia), g["cia"],
+                                   rtol=1e-8, atol=1e-30)
+
+    def test_extinction(self, eclipse_run):
+        g = np.load(os.path.join(GOLD, "ref_eclipse.npz"))
+        _, res = eclipse_run
+        ours = np.asarray(res.extinction)     # (nl, nwn)
+        ref = g["ext"]
+        np.testing.assert_allclose(ours, ref, rtol=5e-5,
+                                   atol=ref.max() * 1e-10)
+
+    def test_tau(self, eclipse_run):
+        g = np.load(os.path.join(GOLD, "ref_eclipse.npz"))
+        _, res = eclipse_run
+        np.testing.assert_allclose(np.asarray(res.tau), g["tau"],
+                                   rtol=5e-5, atol=g["tau"].max() * 1e-10)
+
+    def test_intensity(self, eclipse_run):
+        g = np.load(os.path.join(GOLD, "ref_eclipse.npz"))
+        _, res = eclipse_run
+        ref = g["intens"][:, 1:].T            # (nangle, nwn)
+        np.testing.assert_allclose(np.asarray(res.intensity), ref,
+                                   rtol=1e-5)
+
+    def test_flux(self, eclipse_run):
+        g = np.load(os.path.join(GOLD, "ref_eclipse.npz"))
+        _, res = eclipse_run
+        np.testing.assert_allclose(np.asarray(res.spectrum), g["spec"],
+                                   rtol=1e-5)
+
+    def test_flux_with_toomuch(self):
+        g = np.load(os.path.join(GOLD, "ref_eclipse_toomuch.npz"))
+        model = TransitModel(make_config("eclipse", 3.0, raygrid="0 40 80"))
+        res = model.compute()
+        np.testing.assert_allclose(np.asarray(res.spectrum), g["spec"],
+                                   rtol=1e-5)
+
+
+class TestTransit:
+    def test_tau(self, transit_run):
+        g = np.load(os.path.join(GOLD, "ref_transit.npz"))
+        _, res = transit_run
+        np.testing.assert_allclose(np.asarray(res.tau), g["tau"],
+                                   rtol=5e-5, atol=g["tau"].max() * 1e-10)
+
+    def test_modulation(self, transit_run):
+        g = np.load(os.path.join(GOLD, "ref_transit.npz"))
+        _, res = transit_run
+        np.testing.assert_allclose(np.asarray(res.spectrum), g["spec"],
+                                   rtol=1e-5)
+
+    def test_modulation_with_toomuch(self):
+        g = np.load(os.path.join(GOLD, "ref_transit_toomuch.npz"))
+        model = TransitModel(make_config("transit", 5.0))
+        res = model.compute()
+        np.testing.assert_allclose(np.asarray(res.spectrum), g["spec"],
+                                   rtol=1e-5)

@@ -1,0 +1,296 @@
+"""TransitModel: end-to-end spectrum pipeline.
+
+Mirrors the reference driver (transit/src/transit.c:25-214): init loads and
+precomputes everything static (grids, line plan, Voigt table, path-weight
+matrices) on the host; the per-spectrum computation — extinction, CIA,
+scattering, clouds, optical depth, and the geometry-specific spectrum — is
+one jit-compiled function of the atmospheric state, so BART-style retrieval
+loops (transit.c:118-122 run_transit) are a single differentiable call.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from transit_tpu import grids
+from transit_tpu.config import TransitConfig
+from transit_tpu.constants import SUNRADIUS, TLI_WAV_UNITS
+from transit_tpu.io.atmosphere import read_atmosphere
+from transit_tpu.io.crosssec import read_cross_section
+from transit_tpu.io.tli import read_tli, select_lines
+from transit_tpu.numerics.spline import splinterp_np
+from transit_tpu.opacities import lbl
+from transit_tpu.opacities.cia import cs_extinction, precompute_cs
+from transit_tpu.opacities.clouds import CloudParams, cloud_extinction
+from transit_tpu.opacities.scattering import scattering_extinction
+from transit_tpu.opacities.voigt import build_profile_table
+from transit_tpu.rt import tau as rt_tau
+from transit_tpu.rt.emission import eclipse_intensity, flux
+from transit_tpu.rt.transmission import (
+    modulation, modulation_m1, modulation_weight_table)
+
+
+@dataclasses.dataclass
+class SpectrumResult:
+    wns: np.ndarray            # coarse wavenumber grid (cm-1)
+    spectrum: jnp.ndarray      # flux (eclipse) or modulation (transit)
+    intensity: jnp.ndarray = None   # (nangle, nwn), eclipse only
+    tau: jnp.ndarray = None         # (nwn, nh)
+    last: jnp.ndarray = None        # (nwn,)
+    extinction: jnp.ndarray = None  # (nlayer, nwn) line extinction
+    cia: jnp.ndarray = None         # (nwn, nlayer)
+
+
+class TransitModel:
+    def __init__(self, cfg: TransitConfig, dtype=None):
+        self.cfg = cfg
+        if dtype is None:
+            dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        self.dtype = dtype
+
+        # --- wavenumber grids (transit.c:44 makewnsample) ---
+        self.wns, self.owns = grids.make_wn_sampling(
+            wnlow=cfg.wnlow, wnhigh=cfg.wnhigh, wllow=cfg.wllow,
+            wlhigh=cfg.wlhigh, wndelt=cfg.wndelt, wnosamp=cfg.wnosamp,
+            wnfct=(cfg.wnfct if cfg.wnfct > 0 else 1.0), wlfct=cfg.wlfct)
+
+        # --- atmosphere (transit.c:49 getatm) ---
+        qmol = cfg.qmol.split(",") if cfg.qmol else None
+        qscale = ([float(x) for x in cfg.qscale.split(",")]
+                  if cfg.qscale else None)
+        self.atm, self.mol = read_atmosphere(cfg.atm, cfg.molfile,
+                                             qmol=qmol, qscale=qscale,
+                                             allowq=cfg.allowq)
+
+        # --- radius sampling: default keeps the atmosphere grid
+        #     (makesample.c:472-482, raddelt = -1) ---
+        if cfg.raddelt != -1.0:
+            raise NotImplementedError("radius resampling (raddelt >= 0)")
+        self.rads_v = self.atm.radius
+        self.rfct = cfg.radfct if cfg.radfct > 0 else self.atm.rfct
+        self.ips_v = self.rads_v[::-1].copy()
+
+        # --- line list (transit.c:52 readlineinfo) ---
+        self.tli = read_tli(cfg.linedb) if cfg.linedb else None
+        self._setup_isotopes()
+
+        # --- Voigt profile table (transit.c:58 opacity/calcprofiles) ---
+        fine_dwn = self.wns.d / self.owns.o
+        self.table = build_profile_table(
+            dwn=fine_dwn, nwave=self.owns.n, nwidth=cfg.nwidth,
+            ndop=cfg.ndop, nlor=cfg.nlor, dmin=cfg.dmin, dmax=cfg.dmax,
+            lmin=cfg.lmin, lmax=cfg.lmax)
+
+        # --- line plan ---
+        if self.tli is not None:
+            wl, isoid, elow, gf = select_lines(self.tli, self.wns.i,
+                                               self.wns.f)
+            self.plan = lbl.plan_lines(
+                wl, isoid, elow, gf, TLI_WAV_UNITS,
+                wn_i=self.wns.i, odwn=self.owns.d / self.owns.o,
+                dwn=self.wns.d / self.wns.o, owns_v=self.owns.v,
+                n_coarse=self.wns.n, ofactor=self.owns.o)
+            self.dev = lbl.device_arrays(self.plan, self.iso, self.table,
+                                         dtype=self.dtype)
+        else:
+            self.plan = None
+            self.dev = None
+
+        # --- cross sections (transit.c:63 readcs) ---
+        self.cs_tables = []
+        self.cs_species = []
+        if cfg.csfile:
+            for f in cfg.csfile.split(","):
+                tb = read_cross_section(f.strip())
+                self.cs_tables.append(tb)
+                self.cs_species.append(
+                    np.array([self.atm.species.index(s)
+                              for s in tb.species]))
+        self.cs_pre = precompute_cs(self.cs_tables)
+
+        # --- geometry / path weights ---
+        self.solution = cfg.solution
+        if self.solution == "eclipse":
+            self.W = rt_tau.eclipse_weights(self.rads_v)
+            self.angles = cfg.raygrid_list()
+        elif self.solution == "transit":
+            self.W = rt_tau.transit_weights(self.rads_v, self.ips_v)
+            ipv_asc = (self.ips_v[::-1] * self.rfct).copy()
+            self.Wmod = modulation_weight_table(ipv_asc)
+        else:
+            raise ValueError(f"unknown solution {self.solution!r}")
+
+        self._scatter_flag, self._scatter_logext = self._parse_scattering()
+        self._cloud = self._parse_cloud()
+
+        # Per-layer partition functions at the atmosphere temperatures
+        # (makeradsample.c:533-543; static unless retrieval re-runs it):
+        self.Z_layers = self._partition_at(self.atm.temp)
+
+    # ------------------------------------------------------------------
+    def _setup_isotopes(self):
+        """Cumulative isotope constants (readlineinfo.c:134-244, setimol
+        readlineinfo.c:249-278, and calcopacity's molID ordering
+        opacity.c:349-361)."""
+        if self.tli is None:
+            self.iso = lbl.IsoConst(mass=np.zeros(0), ratio=np.zeros(0),
+                                    imol=np.zeros(0, np.int32),
+                                    iout=np.zeros(0, np.int32), nmol_out=0)
+            return
+        names, masses, ratios, dbidx, mols = self.tli.iso_index()
+        imol = np.array([self.atm.species.index(m) for m in mols],
+                        dtype=np.int32)
+        iout = np.zeros(len(names), dtype=np.int32)
+        seen = []
+        for i, mi in enumerate(imol):
+            mid = self.mol.ids[mi]
+            if mid not in seen:
+                seen.append(mid)
+            iout[i] = seen.index(mid)
+        self.iso = lbl.IsoConst(mass=masses, ratio=ratios, imol=imol,
+                                iout=iout, nmol_out=len(seen))
+        self.iso_names = names
+
+    def _partition_at(self, temps_raw):
+        """Z (niso, nl): natural-spline interpolation of each isotope's
+        partition function from the TLI temperature grid to the layer
+        temperatures (makesample.c:533-543 — note the reference evaluates at
+        the unscaled atmosphere temperatures)."""
+        cols = []
+        for db in self.tli.databases:
+            for iso in db.isotopes:
+                cols.append(splinterp_np(db.temps, iso.partition, temps_raw))
+        return np.stack(cols) if cols else np.zeros((0, len(temps_raw)))
+
+    def _parse_scattering(self):
+        s = self.cfg.scattering
+        if s is None:
+            return 0, 0.0
+        if s.strip() == "polar":
+            return 2, 0.0
+        return 1, float(s)
+
+    def _parse_cloud(self):
+        """argum.c:636-718: 'flag,ext,top,bot[,extra...]'."""
+        c = self.cfg.cloud
+        if c is None:
+            return CloudParams()
+        parts = [float(x) for x in c.split(",")]
+        flag = int(parts[0])
+        p = CloudParams(flag=flag, cloudext=parts[1], cloudtop=parts[2],
+                        cloudbot=parts[3])
+        extra = parts[4:]
+        if flag == 3 and extra:
+            p.gamma = extra[0]
+        elif flag == 4 and len(extra) >= 3:
+            p.gamma, p.Q, p.r = extra[0], extra[1], extra[2]
+        elif flag == 5 and len(extra) >= 3:
+            p.gamma, p.sig, p.refwn = extra[0], extra[1], extra[2]
+        return p
+
+    # ------------------------------------------------------------------
+    def line_extinction(self, temps_cgs=None, densities=None, Z=None):
+        """Per-layer line extinction (nlayer, nwn) via the exact kernel.
+
+        The reference computes this lazily per penetrated layer
+        (tau.c:235-270); on TPU all layers run as one batched map."""
+        nl = self.atm.nlayers
+        if temps_cgs is None:
+            temps_cgs = jnp.asarray(self.atm.temp * self.atm.tfct,
+                                    dtype=self.dtype)
+        if densities is None:
+            densities = jnp.asarray(self.atm.d, dtype=self.dtype)
+        if Z is None:
+            Z = jnp.asarray(self.Z_layers, dtype=self.dtype)
+        if self.plan is None or self.plan.n_lines == 0:
+            return jnp.zeros((nl, self.wns.n), dtype=self.dtype)
+
+        mol_mass = jnp.asarray(self.mol.mass, dtype=self.dtype)
+        mol_radius = jnp.asarray(self.mol.radius, dtype=self.dtype)
+        wn0 = float(self.wns.v[0])
+        eth = self.cfg.ethreshold
+
+        def one_layer(args):
+            t, dens, z = args
+            out = lbl.layer_extinction(
+                self.plan, self.iso, self.table, self.dev,
+                t, dens, z, mol_mass, mol_radius, wn0,
+                ethresh=eth, permol=False)
+            return out[0]
+
+        return jax.lax.map(one_layer,
+                           (temps_cgs, densities.T, Z.T))
+
+    def compute(self, temps_raw=None, q=None):
+        """Full spectrum.  With no arguments, uses the file atmosphere."""
+        atm = self.atm
+        nl = atm.nlayers
+        temps_raw = atm.temp if temps_raw is None else temps_raw
+        temps_cgs = jnp.asarray(temps_raw * atm.tfct, dtype=self.dtype)
+        densities = jnp.asarray(atm.d, dtype=self.dtype)
+        press_cgs = jnp.asarray(atm.press * atm.pfct, dtype=self.dtype)
+
+        ex = self.line_extinction(temps_cgs, densities)   # (nl, nwn)
+
+        wns_cgs = jnp.asarray(self.wns.v * self.wns.fct, dtype=self.dtype)
+        e_s = scattering_extinction(
+            self._scatter_flag, self._scatter_logext, press_cgs, temps_cgs,
+            wns_cgs, densities, jnp.asarray(self.mol.mass, self.dtype),
+            jnp.asarray(self.mol.pol, self.dtype))
+
+        # Mean molar density * mean molar mass and H2 number density for the
+        # cloud models (tau.c:193-213; the reference leaves mean_dens
+        # uninitialized — we compute the intended quantity):
+        from transit_tpu.constants import NAVOGADRO
+        qj = jnp.asarray(atm.q, dtype=self.dtype)
+        molm = jnp.asarray(self.mol.mass, dtype=self.dtype)
+        mean_molar = jnp.sum(densities / molm[:, None] * qj, axis=0)
+        mean_mm = jnp.sum(molm[:, None] * qj, axis=0)
+        mean_dens = mean_molar * mean_mm
+        iH2 = self.atm.species.index("H2") if "H2" in self.atm.species else -1
+        nH = (densities[iH2] / molm[iH2] * qj[iH2] * NAVOGADRO
+              if iH2 >= 0 else jnp.zeros(nl, dtype=self.dtype))
+
+        e_c = cloud_extinction(self._cloud, jnp.asarray(atm.press,
+                                                        self.dtype),
+                               mean_dens, nH, wns_cgs)
+
+        e_cs = (cs_extinction(self.cs_tables, self.cs_pre, self.wns.v,
+                              temps_cgs, densities,
+                              jnp.asarray(self.mol.mass, self.dtype),
+                              self.cs_species)
+                if self.cs_tables else
+                jnp.zeros((self.wns.n, nl), dtype=self.dtype))
+
+        er = ex.T + e_s + e_c + e_cs            # (nwn, nl)
+
+        tau = rt_tau.optical_depth(er, jnp.asarray(self.W, self.dtype),
+                                   self.rfct)
+        last = rt_tau.last_index(tau, self.cfg.toomuch)
+
+        if self.solution == "eclipse":
+            temp_rev = temps_cgs[::-1]
+            intens = jnp.stack([
+                eclipse_intensity(tau, last, wns_cgs, temp_rev, a)
+                for a in self.angles])
+            spec = flux(intens, self.angles)
+            return SpectrumResult(wns=self.wns.v, spectrum=spec,
+                                  intensity=intens, tau=tau, last=last,
+                                  extinction=ex, cia=e_cs)
+        else:
+            srad = self.cfg.starrad * SUNRADIUS
+            spec_fn = modulation_m1 if self.cfg.modlevel == -1 else modulation
+            if self.cfg.modlevel == -1:
+                spec = modulation_m1(tau, last, self.ips_v, self.rfct,
+                                     srad, self.cfg.toomuch)
+            else:
+                spec = modulation(tau, last, self.ips_v, self.rfct, srad,
+                                  self.cfg.toomuch,
+                                  transparent=self.cfg.transparent,
+                                  Wmod=self.Wmod)
+            return SpectrumResult(wns=self.wns.v, spectrum=spec, tau=tau,
+                                  last=last, extinction=ex, cia=e_cs)
