@@ -1,0 +1,137 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from transit_tpu.config import TransitConfig
+from transit_tpu.model import TransitModel
+from tests.test_conformance import make_config
+
+
+@pytest.fixture(scope="module")
+def models():
+    cfg = make_config("eclipse", 1e30)
+    # Dense width table so the exact path's quantization error is small and
+    # the two paths should agree closely:
+    cfg.ndop = 120
+    cfg.nlor = 120
+    exact = TransitModel(cfg, mode="exact")
+    fastm = TransitModel(cfg, mode="fast")
+    return exact, fastm
+
+
+def test_fast_matches_exact_extinction(models):
+    exact, fastm = models
+    re_ = exact.compute()
+    rf = fastm.compute()
+    a = np.asarray(re_.extinction)
+    b = np.asarray(rf.extinction)
+    # Different discretizations: the exact path quantizes each line's
+    # widths to the (log-spaced) table — ~5% width error even at 120
+    # samples — and truncates wings at the quantized cutoff.  The fast path
+    # uses true widths.  Median agreement is tight; the tail of the error
+    # distribution reflects the exact path's quantization, concentrated in
+    # inter-line valleys and line peaks:
+    scale = a.max(axis=1, keepdims=True)
+    mask = a > 1e-10 * scale
+    rel = np.abs(a - b) / (np.abs(a) + 1e-3 * scale)
+    # (Measured: a brute-force recompute with quantized widths agrees with
+    # the exact path to ~1%, while true widths move valley floors by up to
+    # tens of percent — i.e. the tail below is the reference's own
+    # discretization error, not a kernel defect.)
+    assert np.median(rel[mask]) < 2e-3
+    assert np.quantile(rel[mask], 0.9) < 5e-2
+
+
+def test_fast_matches_exact_spectrum(models):
+    exact, fastm = models
+    se = np.asarray(exact.compute().spectrum)
+    sf = np.asarray(fastm.compute().spectrum)
+    # Bulk agreement is ~1e-4; isolated strong-line peaks carry the exact
+    # path's width-quantization error (up to a few percent):
+    rel = np.abs(sf / se - 1.0)
+    assert np.median(rel) < 5e-4
+    assert rel.max() < 5e-2
+
+
+def test_forward_matches_compute():
+    cfg = make_config("eclipse", 1e30)
+    m = TransitModel(cfg, mode="exact")
+    spec0 = np.asarray(m.compute().spectrum)
+    spec1 = np.asarray(m.forward(jnp.asarray(m.atm.temp),
+                                 jnp.asarray(m.atm.q)))
+    np.testing.assert_allclose(spec1, spec0, rtol=1e-12)
+
+
+def test_forward_jit_and_grad():
+    cfg = make_config("eclipse", 1e30)
+    m = TransitModel(cfg, mode="fast")
+    f = jax.jit(lambda t, q: jnp.sum(m.forward(t, q)))
+    t0 = jnp.asarray(m.atm.temp)
+    q0 = jnp.asarray(m.atm.q)
+    v = f(t0, q0)
+    assert np.isfinite(float(v))
+    g = jax.grad(f, argnums=0)(t0, q0)
+    g = np.asarray(g)
+    assert g.shape == t0.shape
+    assert np.all(np.isfinite(g))
+    assert np.any(g != 0)
+    # Finite-difference check on one layer temperature:
+    eps = 1e-3
+    tp = t0.at[10].add(eps)
+    fd = (float(f(tp, q0)) - float(f(t0, q0))) / eps
+    assert np.isclose(fd, g[10], rtol=2e-3), (fd, g[10])
+
+
+def test_forward_hydrostatic_radii():
+    cfg = make_config("transit", 1e30)
+    cfg.gsurf = 980.0
+    cfg.refpress = 1.0     # atm-file pressure units (bar)
+    cfg.refradius = 92000.0
+    m = TransitModel(cfg, mode="fast")
+    f = jax.jit(m.forward)
+    spec = np.asarray(f(jnp.asarray(m.atm.temp), jnp.asarray(m.atm.q)))
+    assert spec.shape == (m.wns.n,)
+    assert np.all(np.isfinite(spec))
+    assert np.all(spec > 0)
+    # Gradient flows through the hydrostatic geometry:
+    g = jax.grad(lambda t: jnp.sum(m.forward(t, jnp.asarray(m.atm.q))))(
+        jnp.asarray(m.atm.temp))
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_forward_vmap_batch():
+    cfg = make_config("eclipse", 1e30)
+    m = TransitModel(cfg, mode="fast")
+    t0 = jnp.asarray(m.atm.temp)
+    q0 = jnp.asarray(m.atm.q)
+    temps = jnp.stack([t0, t0 + 50.0, t0 - 50.0])
+    qs = jnp.stack([q0, q0, q0 * 1.1])
+    batch = jax.vmap(m.forward)(temps, qs)
+    assert batch.shape == (3, m.wns.n)
+    one = m.forward(t0, q0)
+    np.testing.assert_allclose(np.asarray(batch[0]), np.asarray(one),
+                               rtol=1e-10)
+
+
+def test_jnp_weight_builders_match_numpy():
+    from transit_tpu.rt import tau as rt_tau
+    from transit_tpu.rt import geometry as rt_geom
+    rng = np.random.default_rng(3)
+    rad = np.sort(90000.0 + np.cumsum(rng.uniform(80, 160, 24)))
+    We_np = rt_tau.eclipse_weights(rad)
+    We_j = np.asarray(rt_geom.eclipse_weights_jnp(jnp.asarray(rad)))
+    np.testing.assert_allclose(We_j, We_np, rtol=1e-9, atol=1e-12)
+    Wt_np = rt_tau.transit_weights(rad, rad[::-1].copy())
+    Wt_j = np.asarray(rt_geom.transit_weights_jnp(jnp.asarray(rad)))
+    np.testing.assert_allclose(Wt_j, Wt_np, rtol=1e-9, atol=1e-12)
+
+
+def test_jnp_modulation_table_matches_numpy():
+    from transit_tpu.rt.transmission import (modulation_weight_table,
+                                             modulation_weight_table_jnp)
+    rng = np.random.default_rng(4)
+    ipv = np.sort(rng.uniform(1.0, 2.0, 13))
+    Wn = modulation_weight_table(ipv)
+    Wj = np.asarray(modulation_weight_table_jnp(jnp.asarray(ipv)))
+    np.testing.assert_allclose(Wj, Wn, rtol=1e-10, atol=1e-14)

@@ -4,8 +4,16 @@ Mirrors the reference driver (transit/src/transit.c:25-214): init loads and
 precomputes everything static (grids, line plan, Voigt table, path-weight
 matrices) on the host; the per-spectrum computation — extinction, CIA,
 scattering, clouds, optical depth, and the geometry-specific spectrum — is
-one jit-compiled function of the atmospheric state, so BART-style retrieval
-loops (transit.c:118-122 run_transit) are a single differentiable call.
+jit-compiled.  ``forward(temps, q)`` is the fully differentiable retrieval
+step (the analogue of run_transit, transit.c:118-122): it recomputes
+densities, partition functions, hydrostatic radii, and path weights
+in-graph.
+
+Two extinction modes:
+  * mode="exact": the reference's profile-table scheme (opacities/lbl.py),
+    bit-faithful to the C code — used for conformance.
+  * mode="fast": on-the-fly Voigt on dense tiles (opacities/fast.py) — the
+    TPU production path (no width quantization, no gathers).
 """
 
 from __future__ import annotations
@@ -18,20 +26,25 @@ import jax.numpy as jnp
 
 from transit_tpu import grids
 from transit_tpu.config import TransitConfig
-from transit_tpu.constants import SUNRADIUS, TLI_WAV_UNITS
+from transit_tpu.constants import (AMU, KB, NAVOGADRO, SUNRADIUS,
+                                   TLI_WAV_UNITS)
 from transit_tpu.io.atmosphere import read_atmosphere
 from transit_tpu.io.crosssec import read_cross_section
 from transit_tpu.io.tli import read_tli, select_lines
-from transit_tpu.numerics.spline import splinterp_np
-from transit_tpu.opacities import lbl
+from transit_tpu.numerics.spline import (splinterp_np,
+                                         spline_second_derivs_np,
+                                         spline_eval_jnp)
+from transit_tpu.opacities import fast, lbl
 from transit_tpu.opacities.cia import cs_extinction, precompute_cs
 from transit_tpu.opacities.clouds import CloudParams, cloud_extinction
 from transit_tpu.opacities.scattering import scattering_extinction
 from transit_tpu.opacities.voigt import build_profile_table
 from transit_tpu.rt import tau as rt_tau
+from transit_tpu.rt import geometry as rt_geom
 from transit_tpu.rt.emission import eclipse_intensity, flux
 from transit_tpu.rt.transmission import (
-    modulation, modulation_m1, modulation_weight_table)
+    modulation, modulation_m1, modulation_weight_table,
+    modulation_weight_table_jnp)
 
 
 @dataclasses.dataclass
@@ -46,8 +59,9 @@ class SpectrumResult:
 
 
 class TransitModel:
-    def __init__(self, cfg: TransitConfig, dtype=None):
+    def __init__(self, cfg: TransitConfig, dtype=None, mode: str = "exact"):
         self.cfg = cfg
+        self.mode = mode
         if dtype is None:
             dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
         self.dtype = dtype
@@ -78,27 +92,39 @@ class TransitModel:
         self.tli = read_tli(cfg.linedb) if cfg.linedb else None
         self._setup_isotopes()
 
-        # --- Voigt profile table (transit.c:58 opacity/calcprofiles) ---
-        fine_dwn = self.wns.d / self.owns.o
-        self.table = build_profile_table(
-            dwn=fine_dwn, nwave=self.owns.n, nwidth=cfg.nwidth,
-            ndop=cfg.ndop, nlor=cfg.nlor, dmin=cfg.dmin, dmax=cfg.dmax,
-            lmin=cfg.lmin, lmax=cfg.lmax)
-
-        # --- line plan ---
+        # --- line plans / profile table ---
+        self.table = None
+        self.plan = None
+        self.dev = None
+        self.fplan = None
+        self.fdev = None
         if self.tli is not None:
             wl, isoid, elow, gf = select_lines(self.tli, self.wns.i,
                                                self.wns.f)
-            self.plan = lbl.plan_lines(
-                wl, isoid, elow, gf, TLI_WAV_UNITS,
-                wn_i=self.wns.i, odwn=self.owns.d / self.owns.o,
-                dwn=self.wns.d / self.wns.o, owns_v=self.owns.v,
-                n_coarse=self.wns.n, ofactor=self.owns.o)
-            self.dev = lbl.device_arrays(self.plan, self.iso, self.table,
-                                         dtype=self.dtype)
-        else:
-            self.plan = None
-            self.dev = None
+            if mode == "exact":
+                fine_dwn = self.wns.d / self.owns.o
+                self.table = build_profile_table(
+                    dwn=fine_dwn, nwave=self.owns.n, nwidth=cfg.nwidth,
+                    ndop=cfg.ndop, nlor=cfg.nlor, dmin=cfg.dmin,
+                    dmax=cfg.dmax, lmin=cfg.lmin, lmax=cfg.lmax)
+                self.plan = lbl.plan_lines(
+                    wl, isoid, elow, gf, TLI_WAV_UNITS,
+                    wn_i=self.wns.i, odwn=self.owns.d / self.owns.o,
+                    dwn=self.wns.d / self.wns.o, owns_v=self.owns.v,
+                    n_coarse=self.wns.n, ofactor=self.owns.o)
+                self.dev = lbl.device_arrays(self.plan, self.iso, self.table,
+                                             dtype=self.dtype)
+            elif mode == "fast":
+                wavn = 1.0 / (np.asarray(wl) * TLI_WAV_UNITS)
+                mw = fast.max_width_bound(self.atm, self.mol, self.iso.mass,
+                                          self.wns.f, self.iso.imol)
+                self.fplan = fast.make_fast_plan(
+                    wavn, isoid, elow, gf, wn_i=self.wns.i, dwn=self.wns.d,
+                    n_coarse=self.wns.n, max_width=mw, nwidth=cfg.nwidth)
+                self.fdev = fast.fast_device_arrays(self.fplan, self.iso,
+                                                    dtype=self.dtype)
+            else:
+                raise ValueError(f"unknown mode {mode!r}")
 
         # --- cross sections (transit.c:63 readcs) ---
         self.cs_tables = []
@@ -112,11 +138,12 @@ class TransitModel:
                               for s in tb.species]))
         self.cs_pre = precompute_cs(self.cs_tables)
 
-        # --- geometry / path weights ---
+        # --- geometry / path weights (static-radius case) ---
         self.solution = cfg.solution
+        self.angles = cfg.raygrid_list()
         if self.solution == "eclipse":
             self.W = rt_tau.eclipse_weights(self.rads_v)
-            self.angles = cfg.raygrid_list()
+            self.Wmod = None
         elif self.solution == "transit":
             self.W = rt_tau.transit_weights(self.rads_v, self.ips_v)
             ipv_asc = (self.ips_v[::-1] * self.rfct).copy()
@@ -127,9 +154,12 @@ class TransitModel:
         self._scatter_flag, self._scatter_logext = self._parse_scattering()
         self._cloud = self._parse_cloud()
 
-        # Per-layer partition functions at the atmosphere temperatures
-        # (makeradsample.c:533-543; static unless retrieval re-runs it):
-        self.Z_layers = self._partition_at(self.atm.temp)
+        # Partition-function spline coefficients (static; evaluated at the
+        # layer temperatures in-graph):
+        self._setup_partition()
+        self.Z_layers = np.stack(
+            [splinterp_np(t, z, self.atm.temp)
+             for t, z in self._pf] ) if self._pf else np.zeros((0, self.atm.nlayers))
 
     # ------------------------------------------------------------------
     def _setup_isotopes(self):
@@ -155,16 +185,31 @@ class TransitModel:
                                 iout=iout, nmol_out=len(seen))
         self.iso_names = names
 
-    def _partition_at(self, temps_raw):
-        """Z (niso, nl): natural-spline interpolation of each isotope's
-        partition function from the TLI temperature grid to the layer
-        temperatures (makesample.c:533-543 — note the reference evaluates at
-        the unscaled atmosphere temperatures)."""
-        cols = []
+    def _setup_partition(self):
+        """(temps, z) pairs per isotope plus static spline coefficients for
+        in-graph evaluation (makesample.c:533-543)."""
+        self._pf = []
+        self._pf_z2 = []
+        if self.tli is None:
+            return
         for db in self.tli.databases:
             for iso in db.isotopes:
-                cols.append(splinterp_np(db.temps, iso.partition, temps_raw))
-        return np.stack(cols) if cols else np.zeros((0, len(temps_raw)))
+                self._pf.append((db.temps, iso.partition))
+                self._pf_z2.append(spline_second_derivs_np(db.temps,
+                                                           iso.partition))
+
+    def partition_jnp(self, temps_raw):
+        """Z (niso, nl) at traced layer temperatures (natural spline, the
+        reference evaluates at unscaled atmosphere temperatures)."""
+        if not self._pf:
+            return jnp.zeros((0, jnp.shape(temps_raw)[0]), dtype=self.dtype)
+        cols = []
+        for (t, z), z2 in zip(self._pf, self._pf_z2):
+            cols.append(spline_eval_jnp(jnp.asarray(t, self.dtype),
+                                        jnp.asarray(z, self.dtype),
+                                        jnp.asarray(z2, self.dtype),
+                                        temps_raw))
+        return jnp.stack(cols)
 
     def _parse_scattering(self):
         s = self.cfg.scattering
@@ -193,24 +238,20 @@ class TransitModel:
         return p
 
     # ------------------------------------------------------------------
-    def line_extinction(self, temps_cgs=None, densities=None, Z=None):
-        """Per-layer line extinction (nlayer, nwn) via the exact kernel.
-
-        The reference computes this lazily per penetrated layer
-        (tau.c:235-270); on TPU all layers run as one batched map."""
-        nl = self.atm.nlayers
-        if temps_cgs is None:
-            temps_cgs = jnp.asarray(self.atm.temp * self.atm.tfct,
-                                    dtype=self.dtype)
-        if densities is None:
-            densities = jnp.asarray(self.atm.d, dtype=self.dtype)
-        if Z is None:
-            Z = jnp.asarray(self.Z_layers, dtype=self.dtype)
-        if self.plan is None or self.plan.n_lines == 0:
-            return jnp.zeros((nl, self.wns.n), dtype=self.dtype)
-
+    def line_extinction(self, temps_cgs, densities, Z):
+        """Per-layer line extinction (nlayer, nwn)."""
+        nl = jnp.shape(temps_cgs)[0]
         mol_mass = jnp.asarray(self.mol.mass, dtype=self.dtype)
         mol_radius = jnp.asarray(self.mol.radius, dtype=self.dtype)
+        if self.mode == "fast":
+            if self.fplan is None:
+                return jnp.zeros((nl, self.wns.n), dtype=self.dtype)
+            return fast.fast_extinction(
+                self.fplan, self.fdev, temps_cgs, densities, Z,
+                mol_mass, mol_radius, wn_i=self.wns.i, dwn=self.wns.d,
+                ethresh=self.cfg.ethreshold, nwidth=self.cfg.nwidth)
+        if self.plan is None or self.plan.n_lines == 0:
+            return jnp.zeros((nl, self.wns.n), dtype=self.dtype)
         wn0 = float(self.wns.v[0])
         eth = self.cfg.ethreshold
 
@@ -222,19 +263,19 @@ class TransitModel:
                 ethresh=eth, permol=False)
             return out[0]
 
-        return jax.lax.map(one_layer,
-                           (temps_cgs, densities.T, Z.T))
+        return jax.lax.map(one_layer, (temps_cgs, densities.T, Z.T))
 
-    def compute(self, temps_raw=None, q=None):
-        """Full spectrum.  With no arguments, uses the file atmosphere."""
+    # ------------------------------------------------------------------
+    def _spectrum(self, temps_raw, q, densities, radii, W, Wmod,
+                  full_result: bool):
+        """Shared spectrum core; all array args may be traced."""
         atm = self.atm
         nl = atm.nlayers
-        temps_raw = atm.temp if temps_raw is None else temps_raw
-        temps_cgs = jnp.asarray(temps_raw * atm.tfct, dtype=self.dtype)
-        densities = jnp.asarray(atm.d, dtype=self.dtype)
+        temps_cgs = temps_raw * atm.tfct
         press_cgs = jnp.asarray(atm.press * atm.pfct, dtype=self.dtype)
+        Z = self.partition_jnp(temps_raw)
 
-        ex = self.line_extinction(temps_cgs, densities)   # (nl, nwn)
+        ex = self.line_extinction(temps_cgs, densities, Z)   # (nl, nwn)
 
         wns_cgs = jnp.asarray(self.wns.v * self.wns.fct, dtype=self.dtype)
         e_s = scattering_extinction(
@@ -242,34 +283,30 @@ class TransitModel:
             wns_cgs, densities, jnp.asarray(self.mol.mass, self.dtype),
             jnp.asarray(self.mol.pol, self.dtype))
 
-        # Mean molar density * mean molar mass and H2 number density for the
-        # cloud models (tau.c:193-213; the reference leaves mean_dens
-        # uninitialized — we compute the intended quantity):
-        from transit_tpu.constants import NAVOGADRO
-        qj = jnp.asarray(atm.q, dtype=self.dtype)
+        # Mean mass density and H2 number density for cloud models
+        # (tau.c:193-213; the reference leaves mean_dens uninitialized —
+        # we compute the intended quantity):
         molm = jnp.asarray(self.mol.mass, dtype=self.dtype)
-        mean_molar = jnp.sum(densities / molm[:, None] * qj, axis=0)
-        mean_mm = jnp.sum(molm[:, None] * qj, axis=0)
+        mean_molar = jnp.sum(densities / molm[:, None] * q, axis=0)
+        mean_mm = jnp.sum(molm[:, None] * q, axis=0)
         mean_dens = mean_molar * mean_mm
-        iH2 = self.atm.species.index("H2") if "H2" in self.atm.species else -1
-        nH = (densities[iH2] / molm[iH2] * qj[iH2] * NAVOGADRO
+        iH2 = (self.atm.species.index("H2")
+               if "H2" in self.atm.species else -1)
+        nH = (densities[iH2] / molm[iH2] * q[iH2] * NAVOGADRO
               if iH2 >= 0 else jnp.zeros(nl, dtype=self.dtype))
 
-        e_c = cloud_extinction(self._cloud, jnp.asarray(atm.press,
-                                                        self.dtype),
+        e_c = cloud_extinction(self._cloud,
+                               jnp.asarray(atm.press, self.dtype),
                                mean_dens, nH, wns_cgs)
 
         e_cs = (cs_extinction(self.cs_tables, self.cs_pre, self.wns.v,
-                              temps_cgs, densities,
-                              jnp.asarray(self.mol.mass, self.dtype),
-                              self.cs_species)
+                              temps_cgs, densities, molm, self.cs_species)
                 if self.cs_tables else
                 jnp.zeros((self.wns.n, nl), dtype=self.dtype))
 
         er = ex.T + e_s + e_c + e_cs            # (nwn, nl)
 
-        tau = rt_tau.optical_depth(er, jnp.asarray(self.W, self.dtype),
-                                   self.rfct)
+        tau = rt_tau.optical_depth(er, W, self.rfct)
         last = rt_tau.last_index(tau, self.cfg.toomuch)
 
         if self.solution == "eclipse":
@@ -278,19 +315,79 @@ class TransitModel:
                 eclipse_intensity(tau, last, wns_cgs, temp_rev, a)
                 for a in self.angles])
             spec = flux(intens, self.angles)
+            if not full_result:
+                return spec
             return SpectrumResult(wns=self.wns.v, spectrum=spec,
                                   intensity=intens, tau=tau, last=last,
                                   extinction=ex, cia=e_cs)
         else:
             srad = self.cfg.starrad * SUNRADIUS
-            spec_fn = modulation_m1 if self.cfg.modlevel == -1 else modulation
+            ips = radii[::-1]
             if self.cfg.modlevel == -1:
-                spec = modulation_m1(tau, last, self.ips_v, self.rfct,
+                spec = modulation_m1(tau, last, ips, self.rfct,
                                      srad, self.cfg.toomuch)
             else:
-                spec = modulation(tau, last, self.ips_v, self.rfct, srad,
+                spec = modulation(tau, last, ips, self.rfct, srad,
                                   self.cfg.toomuch,
                                   transparent=self.cfg.transparent,
-                                  Wmod=self.Wmod)
+                                  Wmod=Wmod)
+            if not full_result:
+                return spec
             return SpectrumResult(wns=self.wns.v, spectrum=spec, tau=tau,
                                   last=last, extinction=ex, cia=e_cs)
+
+    # ------------------------------------------------------------------
+    def compute(self):
+        """Spectrum for the file atmosphere (static radii)."""
+        atm = self.atm
+        temps_raw = jnp.asarray(atm.temp, dtype=self.dtype)
+        q = jnp.asarray(atm.q, dtype=self.dtype)
+        densities = jnp.asarray(atm.d, dtype=self.dtype)
+        W = jnp.asarray(self.W, dtype=self.dtype)
+        Wmod = (jnp.asarray(self.Wmod, dtype=self.dtype)
+                if self.Wmod is not None else None)
+        radii = jnp.asarray(self.rads_v, dtype=self.dtype)
+        return self._spectrum(temps_raw, q, densities, radii, W, Wmod,
+                              full_result=True)
+
+    def forward(self, temps_raw, q):
+        """Differentiable retrieval step: new T/q profiles -> spectrum.
+
+        Reproduces reloadatm (readatm.c:722-784): mean molecular mass,
+        ideal-gas densities, hydrostatic radii (when gsurf/refpress/
+        refradius are configured), re-derived path weights, then the full
+        spectrum.  Jit/grad/vmap-able.
+        """
+        atm = self.atm
+        temps_raw = jnp.asarray(temps_raw, dtype=self.dtype)
+        q = jnp.asarray(q, dtype=self.dtype)
+        molm = jnp.asarray(self.mol.mass, dtype=self.dtype)
+
+        if atm.by_mass:
+            mm = 1.0 / jnp.sum(q / molm[:, None], axis=0)
+        else:
+            mm = jnp.sum(q * molm[:, None], axis=0)
+        press_cgs = jnp.asarray(atm.press * atm.pfct, dtype=self.dtype)
+        rho = AMU * q * press_cgs[None, :] / KB / (temps_raw *
+                                                   atm.tfct)[None, :]
+        densities = rho * (mm[None, :] if atm.by_mass else molm[:, None])
+
+        cfg = self.cfg
+        if cfg.gsurf and cfg.refpress and cfg.refradius:
+            radii = rt_geom.radpress_jnp(cfg.gsurf, cfg.refpress,
+                                         cfg.refradius, temps_raw, mm,
+                                         atm.press, self.rfct)
+            if self.solution == "eclipse":
+                W = rt_geom.eclipse_weights_jnp(radii)
+                Wmod = None
+            else:
+                W = rt_geom.transit_weights_jnp(radii)
+                Wmod = modulation_weight_table_jnp(radii * self.rfct)
+        else:
+            radii = jnp.asarray(self.rads_v, dtype=self.dtype)
+            W = jnp.asarray(self.W, dtype=self.dtype)
+            Wmod = (jnp.asarray(self.Wmod, dtype=self.dtype)
+                    if self.Wmod is not None else None)
+
+        return self._spectrum(temps_raw, q, densities, radii, W, Wmod,
+                              full_result=False)

@@ -1,0 +1,254 @@
+"""Fast TPU extinction path: on-the-fly Voigt, tile-bucketed lines.
+
+The exact path (opacities/lbl.py) replicates the reference's precomputed
+profile-table scheme, whose random-offset gathers are hostile to TPU.  This
+module instead evaluates the Voigt function *directly* per (layer, line,
+wavenumber) on dense tiles:
+
+  * the coarse wavenumber axis is split into tiles of TW bins;
+  * lines are bucketed to every tile their wings can reach (host-side,
+    contiguous slices of the wavenumber-sorted line list — the duplication
+    factor is ~(2*halo+TW)/TW);
+  * each tile evaluates strength x Voigt for a (layers, lines, TW) block and
+    reduces over lines — pure VPU elementwise math, zero gathers, and the
+    line chunks stream through VMEM.
+
+Physics differences vs the reference (documented, all accuracy-improving):
+  * no (nDop x nLor) width quantization — every line uses its true widths;
+  * no per-fine-bin averaging — point evaluation at bin centers;
+  * wings cut at nwidth*max(alphaD, alphaL) with the true widths.
+The reference's ethresh weak-line drop is reproduced (as a mask) so both
+paths model the same physics.
+
+Reference for the computed quantities: transit/src/extinction.c:281-529.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from transit_tpu.constants import SQRTLN2, SIGCTE, EXPCTE, KB, AMU, LS, PI
+from transit_tpu.opacities.voigt import voigt_k
+
+
+@dataclasses.dataclass
+class FastPlan:
+    """Host-side tile bucketing of the (wavenumber-sorted) line list."""
+    wavn: np.ndarray        # (nl,) sorted ascending
+    isoid: np.ndarray       # (nl,)
+    elow: np.ndarray
+    gf: np.ndarray
+    tile_start: np.ndarray  # (ntiles,) first line index per tile
+    tile_count: np.ndarray  # (ntiles,) lines per tile
+    lmax: int               # max lines per tile (padded length)
+    tw: int                 # tile width in coarse bins
+    ntiles: int
+    n_coarse: int
+    halo_bins: float        # wing reach used for bucketing, in bins
+
+
+def make_fast_plan(wavn, isoid, elow, gf, wn_i: float, dwn: float,
+                   n_coarse: int, max_width: float, nwidth: float,
+                   tw: int = None) -> FastPlan:
+    """Bucket lines by coarse tile.
+
+    max_width: upper bound on max(alphaD, alphaL) over all layers/isotopes
+    (host-computed from the atmosphere); wings reach nwidth*max_width.
+    tw: tile width in coarse bins; by default sized near the halo width —
+    each line is evaluated over its whole tile, so wasted work scales with
+    tw/halo while line duplication scales with halo/tw.
+    """
+    if tw is None:
+        halo_est = nwidth * max_width / dwn
+        tw = int(min(512, max(64, -(-halo_est // 64) * 64)))
+    order = np.argsort(wavn, kind="stable")
+    wavn = np.asarray(wavn, dtype=np.float64)[order]
+    isoid = np.asarray(isoid, dtype=np.int32)[order]
+    elow = np.asarray(elow, dtype=np.float64)[order]
+    gf = np.asarray(gf, dtype=np.float64)[order]
+
+    halo = nwidth * max_width / dwn + 1.0
+    ntiles = -(-n_coarse // tw)
+    lo = wn_i + (np.arange(ntiles) * tw - halo) * dwn
+    hi = wn_i + ((np.arange(ntiles) + 1) * tw + halo) * dwn
+    start = np.searchsorted(wavn, lo, side="left")
+    end = np.searchsorted(wavn, hi, side="right")
+    count = end - start
+    lmax = int(count.max()) if count.size else 0
+    lmax = max(lmax, 1)
+    # Round up for clean tiling:
+    lmax = -(-lmax // 128) * 128
+    return FastPlan(wavn=wavn, isoid=isoid, elow=elow, gf=gf,
+                    tile_start=start.astype(np.int32),
+                    tile_count=count.astype(np.int32),
+                    lmax=lmax, tw=tw, ntiles=ntiles, n_coarse=n_coarse,
+                    halo_bins=halo)
+
+
+def fast_device_arrays(plan: FastPlan, iso, dtype=jnp.float32):
+    """Per-tile padded line tensors on device."""
+    nl = plan.wavn.shape[0]
+    idx = (plan.tile_start[:, None] +
+           np.arange(plan.lmax)[None, :])               # (ntiles, lmax)
+    mask = np.arange(plan.lmax)[None, :] < plan.tile_count[:, None]
+    idx = np.clip(idx, 0, max(nl - 1, 0))
+    return {
+        "wavn": jnp.asarray(plan.wavn[idx], dtype=dtype),
+        "elow": jnp.asarray(plan.elow[idx], dtype=dtype),
+        "gf": jnp.asarray(plan.gf[idx], dtype=dtype),
+        "iso": jnp.asarray(plan.isoid[idx], dtype=jnp.int32),
+        "mask": jnp.asarray(mask),
+        "iso_mass": jnp.asarray(iso.mass, dtype=dtype),
+        "iso_ratio": jnp.asarray(iso.ratio, dtype=dtype),
+        "iso_imol": jnp.asarray(iso.imol, dtype=jnp.int32),
+        # full (unbucketed) line arrays for the kmax pass:
+        "all_wavn": jnp.asarray(plan.wavn, dtype=dtype),
+        "all_elow": jnp.asarray(plan.elow, dtype=dtype),
+        "all_gf": jnp.asarray(plan.gf, dtype=dtype),
+        "all_iso": jnp.asarray(plan.isoid, dtype=jnp.int32),
+    }
+
+
+def _layer_widths(temp, density, iso_mass, iso_imol, mol_mass, mol_radius):
+    """Lorentz width and Doppler width factor per isotope
+    (extinction.c:364-395)."""
+    fdoppler = jnp.sqrt(2.0 * KB * temp / AMU) * SQRTLN2 / LS
+    florentz = jnp.sqrt(2.0 * KB * temp / PI / AMU) / (AMU * LS)
+    csdiam = mol_radius[None, :] + mol_radius[iso_imol][:, None]
+    alphal = florentz * jnp.sum(
+        density[None, :] / mol_mass[None, :] * csdiam * csdiam *
+        jnp.sqrt(1.0 / iso_mass[:, None] + 1.0 / mol_mass[None, :]), axis=1)
+    alphad_f = fdoppler / jnp.sqrt(iso_mass)   # multiply by wavenumber
+    return alphal, alphad_f
+
+
+def fast_extinction(plan: FastPlan, d, temps, densities,
+                    Z, mol_mass, mol_radius, wn_i: float, dwn: float,
+                    ethresh: float, nwidth: float, line_chunk: int = 512):
+    """Extinction (nlayer, n_coarse) for all layers (single device)."""
+    out = fast_extinction_tiles(plan, d, temps, densities, Z, mol_mass,
+                                mol_radius, wn_i, dwn, ethresh, nwidth,
+                                tile0=0, ntiles=plan.ntiles,
+                                line_chunk=line_chunk)
+    return out[:, :plan.n_coarse]
+
+
+def fast_extinction_tiles(plan: FastPlan, d, temps, densities,
+                          Z, mol_mass, mol_radius, wn_i: float, dwn: float,
+                          ethresh: float, nwidth: float,
+                          tile0=0, ntiles: int = None,
+                          line_chunk: int = 512):
+    """Extinction (nlayer, ntiles*tw) for a contiguous tile range.
+
+    ``d`` holds this range's tile tensors (wavn/elow/gf/iso/mask, first dim
+    = ntiles) plus the replicated all_*/iso_* arrays; ``tile0`` is the
+    global index of the first tile (may be traced — used only for the
+    wavenumber offset).  This is the device-local body of the
+    wavenumber-sharded path (parallel/sharded.py).
+
+    temps: (nl,) layer temperatures (cgs); densities (nmol, nl);
+    Z (niso, nl) partition functions.
+    """
+    dtype = d["wavn"].dtype
+    if ntiles is None:
+        ntiles = d["wavn"].shape[0]
+    temps = jnp.asarray(temps, dtype=dtype)
+    densities = jnp.asarray(densities, dtype=dtype)
+    Z = jnp.asarray(Z, dtype=dtype)
+    nlayer = temps.shape[0]
+    niso = d["iso_mass"].shape[0]
+
+    alphal, alphad_f = jax.vmap(
+        lambda t, dens: _layer_widths(t, dens, d["iso_mass"], d["iso_imol"],
+                                      mol_mass, mol_radius),
+        in_axes=(0, 1))(temps, densities)     # (nlayer, niso) each
+
+    # kmax per layer (species-collapsed mode: max over ALL lines,
+    # extinction.c:400-427 with permol=0):
+    def kmax_chunk(carry, sl):
+        w, e, g, i = sl
+        s = (g * jnp.exp(-EXPCTE * e / temps[:, None]) *
+             (1.0 - jnp.exp(-EXPCTE * w / temps[:, None])))
+        k = s * SIGCTE * d["iso_ratio"][i] / (d["iso_mass"][i] * Z[i, :].T)
+        return jnp.maximum(carry, jnp.max(k, axis=1)), None
+
+    npad = -(-plan.wavn.shape[0] // line_chunk) * line_chunk
+    pad = npad - plan.wavn.shape[0]
+    aw = jnp.pad(d["all_wavn"], (0, pad), constant_values=1.0)
+    ae = jnp.pad(d["all_elow"], (0, pad), constant_values=1e30)
+    ag = jnp.pad(d["all_gf"], (0, pad))
+    ai = jnp.pad(d["all_iso"], (0, pad))
+    chunks = (aw.reshape(-1, line_chunk), ae.reshape(-1, line_chunk),
+              ag.reshape(-1, line_chunk), ai.reshape(-1, line_chunk))
+    kmax, _ = jax.lax.scan(kmax_chunk, jnp.zeros(nlayer, dtype=dtype),
+                           chunks)
+
+    wn_axis = wn_i + dwn * jnp.arange(plan.tw, dtype=dtype)
+
+    def one_tile(tile_idx):
+        wn_blk = wn_axis + dwn * ((tile0 + tile_idx) * plan.tw)   # (tw,)
+        w = d["wavn"][tile_idx]      # (lmax,)
+        e = d["elow"][tile_idx]
+        g = d["gf"][tile_idx]
+        i = d["iso"][tile_idx]
+        msk = d["mask"][tile_idx]
+
+        def line_block(acc, sl):
+            wv, el, gf_, iso_, m_ = sl                       # (line_chunk,)
+            # (nlayer, lc) strengths:
+            s = (gf_ * jnp.exp(-EXPCTE * el / temps[:, None]) *
+                 (1.0 - jnp.exp(-EXPCTE * wv / temps[:, None])))
+            k = (s * SIGCTE * d["iso_ratio"][iso_] /
+                 (d["iso_mass"][iso_] * Z[iso_, :].T))
+            k = jnp.where(m_ & (k >= ethresh * kmax[:, None]), k, 0.0)
+            k = k * densities[d["iso_imol"][iso_], :].T
+            aL = alphal[:, iso_]                             # (nlayer, lc)
+            aD = alphad_f[:, iso_] * wv
+            dist = jnp.abs(wn_blk[None, :] - wv[:, None])    # (lc, tw)
+            x = SQRTLN2 * dist[None] / aD[:, :, None]
+            y = SQRTLN2 * (aL / aD)
+            prof = voigt_k(x, y[:, :, None]) / aD[:, :, None]
+            wing = nwidth * jnp.maximum(aD, aL)
+            use = dist[None] <= wing[:, :, None]
+            val = jnp.sum(jnp.where(use, prof, 0.0) * k[:, :, None],
+                          axis=1)                            # (nlayer, tw)
+            return acc + val, None
+
+        nblk = plan.lmax // min(line_chunk, plan.lmax)
+        lc = plan.lmax // nblk
+        sls = (w.reshape(nblk, lc), e.reshape(nblk, lc), g.reshape(nblk, lc),
+               i.reshape(nblk, lc), msk.reshape(nblk, lc))
+        acc, _ = jax.lax.scan(line_block,
+                              jnp.zeros((nlayer, plan.tw), dtype=dtype), sls)
+        return acc
+
+    tiles = jax.lax.map(one_tile, jnp.arange(ntiles))
+    # (ntiles, nlayer, tw) -> (nlayer, ntiles*tw)
+    return jnp.moveaxis(tiles, 0, 1).reshape(nlayer, ntiles * plan.tw)
+
+
+def max_width_bound(atm, mol, iso_mass, wn_max: float,
+                    iso_imol=None) -> float:
+    """Host-side max of max(alphaD, alphaL) over layers/isotopes (the exact
+    width formulas of extinction.c:364-395) for tile-halo sizing."""
+    t = atm.temp * atm.tfct
+    fdop = np.sqrt(2.0 * KB * t / AMU) * SQRTLN2 / LS
+    flor = np.sqrt(2.0 * KB * t / PI / AMU) / (AMU * LS)
+    amax = 0.0
+    if iso_imol is None:
+        iso_imol = np.zeros(iso_mass.shape[0], dtype=int)
+    for mi in range(iso_mass.shape[0]):
+        ad = fdop / np.sqrt(iso_mass[mi]) * wn_max
+        amax = max(amax, ad.max())
+        al = np.zeros_like(t)
+        for j in range(len(mol.mass)):
+            csd = mol.radius[j] + mol.radius[iso_imol[mi]]
+            al += (atm.d[j] / mol.mass[j] * csd * csd *
+                   np.sqrt(1.0 / iso_mass[mi] + 1.0 / mol.mass[j]))
+        amax = max(amax, (flor * al).max())
+    return float(amax)

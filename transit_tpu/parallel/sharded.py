@@ -1,0 +1,154 @@
+"""Multi-chip execution: wavenumber-domain decomposition over a JAX mesh.
+
+The physically parallel axis of this workload is wavenumber (the
+sequence-parallelism analogue; SURVEY §2.4): the coarse grid is split into
+contiguous tile blocks per device, and the line list is bucketed per tile
+*with wing halos* on the host (opacities/fast.py), so every device owns
+exactly the lines its block can see — boundary lines are duplicated into
+both neighbors (duplication ~ (2*halo+TW)/TW) and no runtime halo exchange
+is needed.  Everything downstream of extinction (CIA, scattering, clouds,
+tau-as-matmul over the *local* layer axis, intensity/flux or modulation) is
+pointwise in wavenumber and stays device-local; the only collective is the
+final spectrum all-gather, which jax.jit inserts from the output sharding.
+
+A second mesh axis ("batch") shards retrieval batches (the DP analogue) via
+vmap composed over the sharded step.
+
+The reference has no distributed compute at all (its only multi-process
+feature is a SysV shared-memory opacity cache, transit/src/opacity.c:89-201);
+this module is the TPU-native replacement.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from transit_tpu.constants import NAVOGADRO, SUNRADIUS
+from transit_tpu.opacities import fast
+from transit_tpu.opacities.cia import cs_extinction
+from transit_tpu.opacities.clouds import cloud_extinction
+from transit_tpu.opacities.scattering import scattering_extinction
+from transit_tpu.rt import tau as rt_tau
+from transit_tpu.rt.emission import eclipse_intensity, flux
+from transit_tpu.rt.transmission import modulation
+
+
+def _pad_tiles(model, ndev):
+    """Pad the fast plan's tile tensors to a multiple of ndev tiles."""
+    d = model.fdev
+    ntiles = model.fplan.ntiles
+    npad = (-(-ntiles // ndev)) * ndev - ntiles
+    if npad == 0:
+        return d, ntiles
+    out = dict(d)
+    for k in ("wavn", "elow", "gf", "iso", "mask"):
+        pad_shape = (npad,) + d[k].shape[1:]
+        fill = jnp.zeros(pad_shape, dtype=d[k].dtype)
+        out[k] = jnp.concatenate([d[k], fill], axis=0)
+    return out, ntiles + npad
+
+
+def make_sharded_forward(model, mesh: Mesh):
+    """Jitted sharded spectrum step: (temps_raw, q) -> spectrum.
+
+    ``model`` must be a TransitModel in mode="fast".  The mesh needs a
+    "wn" axis; radii are static (file atmosphere geometry).
+    """
+    assert model.mode == "fast" and model.fplan is not None
+    ndev = mesh.shape["wn"]
+    d, ntiles_p = _pad_tiles(model, ndev)
+    plan = model.fplan
+    tw = plan.tw
+    nl = model.atm.nlayers
+    dtype = model.dtype
+
+    mol_mass = jnp.asarray(model.mol.mass, dtype=dtype)
+    mol_radius = jnp.asarray(model.mol.radius, dtype=dtype)
+    mol_pol = jnp.asarray(model.mol.pol, dtype=dtype)
+    press_raw = jnp.asarray(model.atm.press, dtype=dtype)
+    press_cgs = jnp.asarray(model.atm.press * model.atm.pfct, dtype=dtype)
+    W = jnp.asarray(model.W, dtype=dtype)
+    Wmod = (jnp.asarray(model.Wmod, dtype=dtype)
+            if model.Wmod is not None else None)
+    ips = jnp.asarray(model.ips_v, dtype=dtype)
+    wn_i = float(model.wns.i)
+    dwn = float(model.wns.d)
+    n_coarse = model.wns.n
+    cfg = model.cfg
+    iH2 = (model.atm.species.index("H2")
+           if "H2" in model.atm.species else -1)
+
+    tile_args = {k: d[k] for k in ("wavn", "elow", "gf", "iso", "mask")}
+    shared = {k: d[k] for k in d if k not in tile_args}
+
+    def local_step(tiles, temps_raw, q):
+        """Runs on one device: tiles holds this device's tile block."""
+        widx = jax.lax.axis_index("wn")
+        ntl = ntiles_p // ndev            # local tiles
+        tile0 = widx * ntl
+        temps_cgs = temps_raw * model.atm.tfct
+        Z = model.partition_jnp(temps_raw)
+        molm = mol_mass
+
+        mm = jnp.sum(q * molm[:, None], axis=0)
+        if model.atm.by_mass:
+            mm = 1.0 / jnp.sum(q / molm[:, None], axis=0)
+        from transit_tpu.constants import AMU, KB
+        rho = AMU * q * press_cgs[None, :] / KB / temps_cgs[None, :]
+        densities = rho * (mm[None, :] if model.atm.by_mass
+                           else molm[:, None])
+
+        ldev = dict(shared, **tiles)
+        ex = fast.fast_extinction_tiles(
+            plan, ldev, temps_cgs, densities, Z, molm, mol_radius,
+            wn_i=wn_i, dwn=dwn, ethresh=cfg.ethreshold, nwidth=cfg.nwidth,
+            tile0=tile0, ntiles=ntl)                    # (nl, ntl*tw)
+
+        wn_local = (wn_i + dwn * (tile0 * tw +
+                                  jnp.arange(ntl * tw, dtype=dtype)))
+        wns_cgs = wn_local * model.wns.fct
+
+        e_s = scattering_extinction(
+            model._scatter_flag, model._scatter_logext, press_cgs,
+            temps_cgs, wns_cgs, densities, molm, mol_pol)
+        mean_molar = jnp.sum(densities / molm[:, None] * q, axis=0)
+        mean_mm = jnp.sum(molm[:, None] * q, axis=0)
+        mean_dens = mean_molar * mean_mm
+        nH = (densities[iH2] / molm[iH2] * q[iH2] * NAVOGADRO
+              if iH2 >= 0 else jnp.zeros(nl, dtype=dtype))
+        e_c = cloud_extinction(model._cloud, press_raw, mean_dens, nH,
+                               wns_cgs)
+        e_cs = (cs_extinction(model.cs_tables, model.cs_pre, wn_local,
+                              temps_cgs, densities, molm, model.cs_species)
+                if model.cs_tables else 0.0)
+
+        er = ex.T + e_s + e_c + e_cs
+        tau = rt_tau.optical_depth(er, W, model.rfct)
+        last = rt_tau.last_index(tau, cfg.toomuch)
+
+        if model.solution == "eclipse":
+            temp_rev = temps_cgs[::-1]
+            intens = jnp.stack([
+                eclipse_intensity(tau, last, wns_cgs, temp_rev, a)
+                for a in model.angles])
+            return flux(intens, model.angles)
+        srad = cfg.starrad * SUNRADIUS
+        return modulation(tau, last, ips, model.rfct, srad, cfg.toomuch,
+                          transparent=cfg.transparent, Wmod=Wmod)
+
+    tile_specs = {k: P("wn") for k in tile_args}
+
+    fn = shard_map(local_step, mesh=mesh,
+                   in_specs=(tile_specs, P(), P()),
+                   out_specs=P("wn"), check_vma=False)
+
+    @jax.jit
+    def step(temps_raw, q):
+        spec = fn(tile_args, temps_raw, q)
+        return spec[:n_coarse]
+
+    return step

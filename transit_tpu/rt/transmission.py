@@ -10,6 +10,7 @@ data-dependent loop into masked vector ops.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from transit_tpu.numerics.simpson import simpson_weights_np
@@ -27,6 +28,24 @@ def modulation_weight_table(ipv_asc: np.ndarray) -> np.ndarray:
     return W
 
 
+def modulation_weight_table_jnp(ipv_asc):
+    """Differentiable modulation_weight_table for traced radii."""
+    from transit_tpu.numerics.simpson import simpson_weights_jnp
+    ipv_asc = jnp.asarray(ipv_asc)
+    ipn = ipv_asc.shape[0]
+
+    def row(count):
+        # The valid segment is the ascending *tail* of length `count`; roll
+        # it to the front for the prefix-masked weight builder, then roll
+        # the weights back into place:
+        rolled = jnp.roll(ipv_asc, count)
+        w = simpson_weights_jnp(rolled, n_valid=count)
+        return jnp.roll(w, -count)
+
+    counts = jnp.arange(ipn + 1)
+    return jax.vmap(row)(counts)
+
+
 def modulation(tau, last, ip_v, ip_fct, starrad_cm, toomuch,
                transparent=False, Wmod=None):
     """Modulation spectrum M(wn), modulation1 (slantpath.c:350-436).
@@ -34,15 +53,16 @@ def modulation(tau, last, ip_v, ip_fct, starrad_cm, toomuch,
     Args:
       tau: (nwn, nip) optical depth, rows over descending impact parameter
         (index 0 = largest b = top).
-      ip_v: (nip,) impact parameters, *descending* (reversed radii).
+      ip_v: (nip,) impact parameters, *descending* (reversed radii); may be
+        traced if Wmod is supplied (or built with the jnp table).
     """
     nwn, ipn = tau.shape
-    ipv_desc = np.asarray(ip_v, dtype=np.float64) * ip_fct
-    ipv_asc = ipv_desc[::-1].copy()         # ascending, index ipn-1-i
+    ipv_desc = jnp.asarray(ip_v) * ip_fct
+    ipv_asc = ipv_desc[::-1]                # ascending, index ipn-1-i
     if Wmod is None:
-        Wmod = modulation_weight_table(ipv_asc)
+        Wmod = modulation_weight_table_jnp(ipv_asc)
     Wmod = jnp.asarray(Wmod)
-    ipv_asc_j = jnp.asarray(ipv_asc)
+    ipv_asc_j = ipv_asc
 
     idx = jnp.arange(ipn)
     # rinteg[ipn-1-i] = exp(-tau[i]) * ipv[i] for i <= last, 0 beyond
@@ -73,7 +93,7 @@ def modulation_m1(tau, last, ip_v, ip_fct, starrad_cm, toomuch):
     the radius where tau = toomuch, linearly interpolated, squared over the
     stellar radius.  Returns -1 where toomuch was not reached."""
     nwn, ipn = tau.shape
-    ipv = jnp.asarray(np.asarray(ip_v, dtype=np.float64) * ip_fct)
+    ipv = jnp.asarray(ip_v) * ip_fct
     tlast = jnp.take_along_axis(tau, last[:, None], axis=1)[:, 0]
     reached = tlast >= toomuch
 
