@@ -188,6 +188,32 @@ def main():
     r = run_reference(cfg, "/tmp/goldrun_tra2", "transit", 5.0)
     np.savez_compressed(os.path.join(GOLD, "ref_transit_toomuch.npz"), **r)
 
+    # Opacity grid: build with --justOpacity, then run in grid-interpolation
+    # mode (opacity.c modes b and c):
+    binpath = os.environ.get("TRANSIT_REF_BIN",
+                             "/tmp/refbuild/transit/transit")
+    os.makedirs("/tmp/goldrun_grid", exist_ok=True)
+    gridcfg = cfg + ("solution eclipse\ntoomuch 1e30\n"
+                     "opacityfile /tmp/goldrun_grid/opacity.bin\n"
+                     "tlow 1000\nthigh 2000\ntempdelt 100\n"
+                     "raygrid 0 20 40 60 80\n"
+                     "outspec /tmp/goldrun_grid/spec.dat\njustOpacity y\n")
+    with open("/tmp/goldrun_grid/build.cfg", "w") as f:
+        f.write(gridcfg)
+    if os.path.exists("/tmp/goldrun_grid/opacity.bin"):
+        os.remove("/tmp/goldrun_grid/opacity.bin")
+    subprocess.run([binpath, "-c", "/tmp/goldrun_grid/build.cfg"],
+                   cwd="/tmp/goldrun_grid", check=True, capture_output=True)
+    import shutil
+    shutil.copy("/tmp/goldrun_grid/opacity.bin",
+                os.path.join(GOLD, "ref_opacity_grid.bin"))
+
+    r = run_reference(cfg + "opacityfile /tmp/goldrun_grid/opacity.bin\n"
+                      "tlow 1000\nthigh 2000\ntempdelt 100\n",
+                      "/tmp/goldrun_grid_run", "eclipse", 1e30,
+                      extra="raygrid 0 20 40 60 80\n")
+    np.savez_compressed(os.path.join(GOLD, "ref_eclipse_gridmode.npz"), **r)
+
     print("golden files written to", GOLD)
 
 

@@ -1,0 +1,182 @@
+"""Command-line interface, compatible with the reference transit CLI.
+
+Reference: transit/src/argum.c (option table), transit.c:233 (main), and the
+output writers printmod (slantpath.c:510-555), printflux/printintens
+(eclipse.c:293-380), printtoomuch (tau.c:612-640), savetau/saveCIA/
+savemolExtion (tau.c:385-518).  Accepts the same config files (-c) and
+option names; produces the same file formats.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+
+import numpy as np
+
+from transit_tpu.config import TransitConfig, load_config, _BOOL_FLAGS
+
+
+def build_parser():
+    p = argparse.ArgumentParser(
+        prog="transit_tpu",
+        description="TPU-native transmission/emission spectrum calculator")
+    p.add_argument("-c", "--config_file", action="append", default=[],
+                   help="Read options from file (reference .cfg syntax).")
+    p.add_argument("--mode", default="exact", choices=["exact", "fast"],
+                   help="Extinction path: 'exact' (reference-faithful "
+                        "profile table) or 'fast' (on-the-fly Voigt).")
+    for f in dataclasses.fields(TransitConfig):
+        name = "--" + f.name
+        if f.name in _BOOL_FLAGS:
+            p.add_argument(name, action="store_true", default=None)
+        elif f.type in ("int", int):
+            p.add_argument(name, type=int, default=None)
+        elif f.type in ("float", float):
+            p.add_argument(name, type=float, default=None)
+        else:
+            p.add_argument(name, type=str, default=None)
+    # Reference aliases:
+    p.add_argument("--ethresh", dest="ethreshold", type=float, default=None)
+    return p
+
+
+def config_from_args(argv):
+    args = build_parser().parse_args(argv)
+    cfg = TransitConfig()
+    for path in args.config_file:
+        cfg = load_config(path)
+    for f in dataclasses.fields(TransitConfig):
+        v = getattr(args, f.name, None)
+        if v is not None:
+            setattr(cfg, f.name, v)
+    if args.ethreshold is not None:
+        cfg.ethreshold = args.ethreshold
+    return cfg, args.mode
+
+
+def write_spectrum(path, wns, spec, solution):
+    out = open(path, "w") if path and path != "-" else sys.stdout
+    if solution == "eclipse":
+        out.write("#wvl [um]%*sFlux [erg/s/cm]\n" % (6, " ")
+                  if False else "#wvl [um]      Flux [erg/s/cm]\n")
+        for w, s in zip(wns, spec):
+            out.write(f"{1e4 / w:<15.10g}{s:<18.9g}\n")
+    else:
+        out.write("#wvl [um]        modulation\n")
+        for w, s in zip(wns, spec):
+            out.write(f"{1e4 / w:<17.9g}{s:<18.9g}\n")
+    if out is not sys.stdout:
+        out.close()
+
+
+def write_intensity(path, wns, intens, angles):
+    """printintens format (eclipse.c:293-349)."""
+    if not path or path == "-":
+        return
+    with open(path, "w") as f:
+        f.write("#wvl %*s" % (10, " "))
+        for a in angles:
+            f.write("I[%4.1f deg]%*s" % (a, 7, " "))
+        f.write("\n#[um]%*s" % (10, " "))
+        for _ in angles:
+            f.write("[erg/s/cm/sr]%*s" % (5, " "))
+        f.write("\n")
+        for iw, w in enumerate(wns):
+            f.write(f"{1e4 / w:<15.10g}")
+            for ia in range(len(angles)):
+                f.write(f"{intens[ia, iw]:<18.9g}")
+            f.write("\n")
+
+
+def write_toomuch(path, wns, tau, last, rads_v, rfct):
+    """printtoomuch format (tau.c:612-640)."""
+    if not path:
+        return
+    with open(path, "w") as f:
+        f.write("# Wavelength   Max Optical   Radius at the    Radius\n"
+                "   (microns)         depth   max depth (km)    index\n")
+        for iw, w in enumerate(wns):
+            li = int(last[iw])
+            f.write(f"{1e4 / w:12.7f}   {tau[iw, li]:.5e}     "
+                    f"{rads_v[li] * rfct / 1e5:12.4f}     {li:04d}\n")
+
+
+def write_2d(path, header, keys, rows, keytag):
+    """print2dArrayDouble format (tau.c:361-382)."""
+    with open(path, "w") as f:
+        f.write("\n" + header + "\n")
+        for k, row in zip(keys, rows):
+            f.write(f"{keytag} {k:<20.10g}\n")
+            f.write("".join(f"{v:<20.10g}" for v in row) + "\n\n")
+
+
+def save_files(res, model):
+    """--savefiles outputs (tau.c:179-190, 308-329, 385-518)."""
+    write_2d("tau.dat",
+             "# 2D optical depth\n# tau [wn][rad]; wn[0]=min(wn); "
+             "rad[0]=top (min(p))\n",
+             res.wns, np.asarray(res.tau), "wavenumber:")
+    write_2d("CIA.dat",
+             "# 2D CIA extinction\n# e_cs [wn][rad]; wn[0]=min(wn); "
+             "row[0]=bottom (max(p))\n",
+             res.wns, np.asarray(res.cia), "wavenumber:")
+    write_2d("mol_extion.dat",
+             "# mol-line extinction\n# e [rad][wn]; rad[0]=bottom "
+             "(max(p)); wn[0]=min(wn)\n",
+             model.rads_v, np.asarray(res.extinction), "radius:")
+
+
+def write_sample_info(path, model):
+    """outsample report (makesample.c:639-672, 743-772)."""
+    if not path:
+        return
+    out = open(path, "w") if path != "-" else sys.stdout
+    for name, samp, show_o in (("Wavenumber", model.wns, True),
+                               ("Radius", None, False)):
+        if samp is None:
+            continue
+        out.write("############################\n"
+                  f"   {name:<12} Sampling\n"
+                  "----------------------------\n")
+        out.write(f"Factor to cgs units: {samp.fct:g}\n")
+        out.write(f"Initial value: {samp.i:g}\nFinal value: {samp.f:g}\n")
+        out.write(f"Spacing: {samp.d:g}\n")
+        if show_o:
+            out.write(f"Oversample: {samp.o}\n")
+        out.write(f"Number of elements: {samp.n}\n")
+    if out is not sys.stdout:
+        out.close()
+
+
+def main(argv=None):
+    cfg, mode = config_from_args(sys.argv[1:] if argv is None else argv)
+    from transit_tpu.model import TransitModel
+
+    if cfg.justOpacity:
+        from transit_tpu.opacities.grid import build_opacity_grid
+        model = TransitModel(cfg, mode=mode)
+        build_opacity_grid(model, cfg.opacityfile)
+        return 0
+
+    model = TransitModel(cfg, mode=mode)
+    res = model.compute()
+
+    write_spectrum(cfg.outspec, res.wns, np.asarray(res.spectrum),
+                   model.solution)
+    if model.solution == "eclipse" and res.intensity is not None:
+        write_intensity(cfg.outintens, res.wns, np.asarray(res.intensity),
+                        model.angles)
+    if cfg.outtoomuch:
+        write_toomuch(cfg.outtoomuch, res.wns, np.asarray(res.tau),
+                      np.asarray(res.last), model.rads_v, model.rfct)
+    if cfg.outsample:
+        write_sample_info(cfg.outsample, model)
+    if cfg.savefiles:
+        save_files(res, model)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

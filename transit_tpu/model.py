@@ -88,8 +88,24 @@ class TransitModel:
         self.rfct = cfg.radfct if cfg.radfct > 0 else self.atm.rfct
         self.ips_v = self.rads_v[::-1].copy()
 
-        # --- line list (transit.c:52 readlineinfo) ---
-        self.tli = read_tli(cfg.linedb) if cfg.linedb else None
+        # --- opacity grid (transit.c:58 opacity; mode c: file exists) ---
+        self.ogrid = None
+        self.grid_mol_idx = None
+        import os as _os
+        if cfg.opacityfile and _os.path.exists(cfg.opacityfile) \
+                and not cfg.justOpacity:
+            from transit_tpu.opacities.grid import read_opacity_grid
+            self.ogrid = read_opacity_grid(cfg.opacityfile)
+            ids = list(self.mol.ids)
+            self.grid_mol_idx = np.array(
+                [ids.index(int(m)) for m in self.ogrid.molID],
+                dtype=np.int32)
+            self._ogrid_dev = jnp.asarray(self.ogrid.grid, dtype=self.dtype)
+
+        # --- line list (transit.c:52 readlineinfo; skipped when an opacity
+        #     grid is present, readlineinfo.c:586-603) ---
+        self.tli = (read_tli(cfg.linedb)
+                    if cfg.linedb and self.ogrid is None else None)
         self._setup_isotopes()
 
         # --- line plans / profile table ---
@@ -241,6 +257,11 @@ class TransitModel:
     def line_extinction(self, temps_cgs, densities, Z):
         """Per-layer line extinction (nlayer, nwn)."""
         nl = jnp.shape(temps_cgs)[0]
+        if self.ogrid is not None:
+            from transit_tpu.opacities.grid import grid_extinction
+            return grid_extinction(
+                jnp.asarray(self.ogrid.temp, self.dtype), self._ogrid_dev,
+                jnp.asarray(self.grid_mol_idx), temps_cgs, densities)
         mol_mass = jnp.asarray(self.mol.mass, dtype=self.dtype)
         mol_radius = jnp.asarray(self.mol.radius, dtype=self.dtype)
         if self.mode == "fast":

@@ -1,0 +1,157 @@
+"""Opacity-grid subsystem: build, store, load, interpolate.
+
+Reference: transit/src/opacity.c (calcopacity/readopacity, binary layout
+opacity.c:406-421) and extinction.c:534-581 (interpolmolext).  The grid is a
+4-D table [Nlayer][Ntemp][Nmol][Nwave] of per-molecule extinction (without
+the density factor); at run time each layer linearly interpolates in
+temperature and multiplies by the molecular density.
+
+The reference's SysV shared-memory distribution of the grid
+(opacity.c:89-201) has no TPU analogue — a host's chips already share the
+array in HBM, and multi-host runs load shard-local wavenumber bands.
+
+File format (little-endian, identical to the reference):
+    i64 x4  Nmol, Ntemp, Nlayer, Nwave
+    i32[Nmol]  universal molecule IDs
+    f64[Ntemp] temperatures (K)
+    f64[Nlayer] pressures (cgs, barye)
+    f64[Nwave] wavenumbers (cm-1)
+    f64[Nlayer][Ntemp][Nmol][Nwave] opacity grid
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from transit_tpu.constants import AMU, KB
+from transit_tpu.grids import make_temp_sampling
+from transit_tpu.numerics.spline import splinterp_np
+
+
+@dataclasses.dataclass
+class OpacityGrid:
+    molID: np.ndarray    # (Nmol,) int32 universal molecule IDs
+    temp: np.ndarray     # (Ntemp,)
+    press: np.ndarray    # (Nlayer,) cgs
+    wns: np.ndarray      # (Nwave,)
+    grid: np.ndarray     # (Nlayer, Ntemp, Nmol, Nwave)
+
+
+def write_opacity_grid(path: str, og: OpacityGrid):
+    with open(path, "wb") as f:
+        dims = np.array([og.molID.shape[0], og.temp.shape[0],
+                         og.press.shape[0], og.wns.shape[0]], dtype="<i8")
+        f.write(dims.tobytes())
+        f.write(np.asarray(og.molID, dtype="<i4").tobytes())
+        f.write(np.asarray(og.temp, dtype="<f8").tobytes())
+        f.write(np.asarray(og.press, dtype="<f8").tobytes())
+        f.write(np.asarray(og.wns, dtype="<f8").tobytes())
+        f.write(np.asarray(og.grid, dtype="<f8").tobytes())
+
+
+def read_opacity_grid(path: str) -> OpacityGrid:
+    with open(path, "rb") as f:
+        raw = f.read()
+    nmol, ntemp, nlayer, nwave = np.frombuffer(raw, "<i8", 4, 0)
+    off = 32
+    molID = np.frombuffer(raw, "<i4", nmol, off).copy(); off += 4 * nmol
+    temp = np.frombuffer(raw, "<f8", ntemp, off).copy(); off += 8 * ntemp
+    press = np.frombuffer(raw, "<f8", nlayer, off).copy(); off += 8 * nlayer
+    wns = np.frombuffer(raw, "<f8", nwave, off).copy(); off += 8 * nwave
+    grid = np.frombuffer(raw, "<f8", nlayer * ntemp * nmol * nwave,
+                         off).reshape(nlayer, ntemp, nmol, nwave).copy()
+    return OpacityGrid(molID=molID, temp=temp, press=press, wns=wns,
+                       grid=grid)
+
+
+def build_opacity_grid(model, path: str = None,
+                       layer_batch: int = 1) -> OpacityGrid:
+    """calcopacity (opacity.c:281-427): per-molecule extinction on the
+    (layer x temperature x molecule x wavenumber) grid via the exact
+    line-by-line kernel (permol=1)."""
+    from transit_tpu.opacities import lbl
+
+    cfg = model.cfg
+    tsamp = make_temp_sampling(cfg.tlow, cfg.thigh, cfg.tempdelt)
+    temps = tsamp.v
+    ntemp = temps.shape[0]
+    atm = model.atm
+    nl = atm.nlayers
+    nmol_out = model.iso.nmol_out
+    nwave = model.wns.n
+
+    # Partition function at grid temperatures (opacity.c:324-339):
+    Zg = np.stack([splinterp_np(t, z, temps) for t, z in model._pf])
+
+    # Universal mol IDs in output order (opacity.c:349-361):
+    seen = []
+    for mi in model.iso.imol:
+        mid = int(model.mol.ids[mi])
+        if mid not in seen:
+            seen.append(mid)
+    molID = np.array(seen, dtype=np.int32)
+
+    press_cgs = atm.press * atm.pfct
+    mol_mass = jnp.asarray(model.mol.mass, dtype=model.dtype)
+    mol_radius = jnp.asarray(model.mol.radius, dtype=model.dtype)
+    wn0 = float(model.wns.v[0])
+
+    # Densities at (layer, grid-temp): stateeqnford with the layer's q and
+    # mm but the grid temperature (opacity.c:392-394):
+    q = atm.q                      # (nmolecules, nl)
+    mm = atm.mm
+
+    fn = jax.jit(lambda tt, dd, zz: lbl.layer_extinction(
+        model.plan, model.iso, model.table, model.dev, tt, dd, zz,
+        mol_mass, mol_radius, wn0, ethresh=cfg.ethreshold, permol=True))
+
+    grid = np.zeros((nl, ntemp, nmol_out, nwave))
+    for r in range(nl):
+        for t in range(ntemp):
+            dens = AMU * q[:, r] * press_cgs[r] / KB / temps[t]
+            dens = dens * (mm[r] if atm.by_mass else model.mol.mass)
+            grid[r, t] = np.asarray(fn(
+                jnp.asarray(temps[t], model.dtype),
+                jnp.asarray(dens, model.dtype),
+                jnp.asarray(Zg[:, t], model.dtype)))
+
+    og = OpacityGrid(molID=molID, temp=temps, press=press_cgs,
+                     wns=model.wns.v.copy(), grid=grid)
+    if path:
+        write_opacity_grid(path, og)
+    return og
+
+
+def grid_extinction(og_temp, og_grid, mol_of_m, temps_cgs, densities):
+    """interpolmolext (extinction.c:534-581): per-layer extinction from the
+    grid, differentiable in the layer temperatures.
+
+    og_temp: (Ntemp,); og_grid: (Nlayer, Ntemp, Nmol, Nwave) device array;
+    mol_of_m: (Nmol,) atmosphere molecule index per grid molecule;
+    temps_cgs: (Nlayer,) traced; densities: (nmolecules, Nlayer).
+    Returns (Nlayer, Nwave).
+    """
+    og_temp = jnp.asarray(og_temp)
+    ntemp = og_temp.shape[0]
+    # itemp: index of grid temperature immediately below temp
+    # (binsearchapprox + step-down, extinction.c:562-564):
+    from transit_tpu.numerics.search import nearest_index_jnp
+    it = nearest_index_jnp(og_temp, temps_cgs)
+    it = jnp.where(temps_cgs < og_temp[it], it - 1, it)
+    it = jnp.clip(it, 0, ntemp - 2)
+
+    t0 = og_temp[it]
+    t1 = og_temp[it + 1]
+    w0 = (t1 - temps_cgs) / (t1 - t0)
+    w1 = (temps_cgs - t0) / (t1 - t0)
+
+    nl = og_grid.shape[0]
+    g0 = og_grid[jnp.arange(nl), it]        # (Nlayer, Nmol, Nwave)
+    g1 = og_grid[jnp.arange(nl), it + 1]
+    ext = g0 * w0[:, None, None] + g1 * w1[:, None, None]
+    dens_m = densities[mol_of_m, :].T       # (Nlayer, Nmol)
+    return jnp.sum(ext * dens_m[:, :, None], axis=1)
