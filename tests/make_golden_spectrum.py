@@ -214,6 +214,15 @@ def main():
                       extra="raygrid 0 20 40 60 80\n")
     np.savez_compressed(os.path.join(GOLD, "ref_eclipse_gridmode.npz"), **r)
 
+    # Resampled radius grid + extinction savefile:
+    r = run_reference(cfg + "raddelt 25.0\n",
+                      "/tmp/goldrun_raddelt", "eclipse", 1e30,
+                      extra="raygrid 0 40 80\n"
+                            "saveext /tmp/goldrun_raddelt/ext.save\n")
+    np.savez_compressed(os.path.join(GOLD, "ref_eclipse_raddelt.npz"), **r)
+    shutil.copy("/tmp/goldrun_raddelt/ext.save",
+                os.path.join(GOLD, "ref_ext.save"))
+
     print("golden files written to", GOLD)
 
 

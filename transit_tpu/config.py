@@ -67,6 +67,7 @@ class TransitConfig:
     scattering: Optional[str] = None
 
     # Opacity grid (argum.c:270-284):
+    saveext: Optional[str] = None
     opacityfile: Optional[str] = None
     tlow: float = 500.0
     thigh: float = 3000.0
@@ -95,7 +96,7 @@ _BOOL_FLAGS = {"justOpacity", "shareOpacity", "transparent", "savefiles"}
 _INT_FIELDS = {"wnosamp", "ndop", "nlor", "taulevel", "modlevel", "verb"}
 _STR_FIELDS = {"atm", "linedb", "csfile", "molfile", "outspec", "outtoomuch",
                "outsample", "outintens", "qmol", "qscale", "solution",
-               "raygrid", "opacityfile", "cloud", "scattering"}
+               "raygrid", "opacityfile", "cloud", "scattering", "saveext"}
 _ALIASES = {"ethresh": "ethreshold"}
 
 

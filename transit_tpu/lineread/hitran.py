@@ -85,6 +85,14 @@ class HitranReader(DbReader):
 
 def _parse_float(rec: np.ndarray) -> np.ndarray:
     """Parse a fixed-width ASCII float column (2-D uint8 array)."""
+    try:
+        from transit_tpu import _native
+        raw = np.ascontiguousarray(rec).tobytes()
+        w = rec.shape[1]
+        out = _native.parse_fixed_floats(raw, w, 0, w, rec.shape[0])
+        return np.frombuffer(out, dtype=np.float64).copy()
+    except ImportError:
+        pass
     s = rec.tobytes().decode("ascii")
     w = rec.shape[1]
     return np.array([float(s[i * w:(i + 1) * w] or 0)

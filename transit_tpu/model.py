@@ -81,11 +81,25 @@ class TransitModel:
                                              allowq=cfg.allowq)
 
         # --- radius sampling: default keeps the atmosphere grid
-        #     (makesample.c:472-482, raddelt = -1) ---
-        if cfg.raddelt != -1.0:
-            raise NotImplementedError("radius resampling (raddelt >= 0)")
-        self.rads_v = self.atm.radius
+        #     (makesample.c:472-482, raddelt = -1); positive raddelt
+        #     resamples to an equidistant grid and splines every
+        #     atmospheric quantity onto it (makesample.c:483-531) ---
         self.rfct = cfg.radfct if cfg.radfct > 0 else self.atm.rfct
+        if cfg.raddelt == -1.0:
+            self.rads_v = self.atm.radius
+        else:
+            ini = cfg.radlow if cfg.radlow > 0 else self.atm.radius[0]
+            fin = cfg.radhigh if cfg.radhigh > 0 else self.atm.radius[-1]
+            rs = grids.make_sampling(ini, fin, cfg.raddelt)
+            old = self.atm.radius
+            a = self.atm
+            a.temp = splinterp_np(old, a.temp, rs.v)
+            a.press = splinterp_np(old, a.press, rs.v)
+            a.mm = splinterp_np(old, a.mm, rs.v)
+            a.q = np.stack([splinterp_np(old, qi, rs.v) for qi in a.q])
+            a.d = np.stack([splinterp_np(old, di, rs.v) for di in a.d])
+            a.radius = rs.v
+            self.rads_v = rs.v
         self.ips_v = self.rads_v[::-1].copy()
 
         # --- opacity grid (transit.c:58 opacity; mode c: file exists) ---
@@ -257,6 +271,13 @@ class TransitModel:
     def line_extinction(self, temps_cgs, densities, Z):
         """Per-layer line extinction (nlayer, nwn)."""
         nl = jnp.shape(temps_cgs)[0]
+        # Extinction checkpoint (tau.c:155-156, extinction.c:96-137):
+        if self.cfg.saveext:
+            from transit_tpu.utils.savefiles import load_extinction
+            cached = load_extinction(self.cfg.saveext, self.atm.nlayers,
+                                     self.wns.n)
+            if cached is not None:
+                return jnp.asarray(cached[0], dtype=self.dtype)
         if self.ogrid is not None:
             from transit_tpu.opacities.grid import grid_extinction
             return grid_extinction(
@@ -368,8 +389,15 @@ class TransitModel:
         Wmod = (jnp.asarray(self.Wmod, dtype=self.dtype)
                 if self.Wmod is not None else None)
         radii = jnp.asarray(self.rads_v, dtype=self.dtype)
-        return self._spectrum(temps_raw, q, densities, radii, W, Wmod,
-                              full_result=True)
+        res = self._spectrum(temps_raw, q, densities, radii, W, Wmod,
+                             full_result=True)
+        if self.cfg.saveext:
+            from transit_tpu.utils.savefiles import (save_extinction,
+                                                     load_extinction)
+            if load_extinction(self.cfg.saveext, self.atm.nlayers,
+                               self.wns.n) is None:
+                save_extinction(self.cfg.saveext, np.asarray(res.extinction))
+        return res
 
     def forward(self, temps_raw, q):
         """Differentiable retrieval step: new T/q profiles -> spectrum.

@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from transit_tpu.constants import SQRTLN2, SIGCTE, EXPCTE, KB, AMU, LS, PI
-from transit_tpu.opacities.voigt import voigt_k
+from transit_tpu.opacities.voigt import voigt_k, voigt_k_humlicek
 
 
 @dataclasses.dataclass
@@ -64,8 +64,12 @@ def make_fast_plan(wavn, isoid, elow, gf, wn_i: float, dwn: float,
     tw/halo while line duplication scales with halo/tw.
     """
     if tw is None:
+        # Tile height: each line in a tile is evaluated over all tw bins,
+        # so wasted work ~ (tw + 2*halo)/(2*halo); memory duplication of
+        # line data ~ (tw + 2*halo)/tw.  tw ~ halo balances both; the line
+        # axis (not tw) is the 128-lane axis, so small tw is fine:
         halo_est = nwidth * max_width / dwn
-        tw = int(min(512, max(64, -(-halo_est // 64) * 64)))
+        tw = int(min(256, max(8, -(-int(halo_est) // 8) * 8)))
     order = np.argsort(wavn, kind="stable")
     wavn = np.asarray(wavn, dtype=np.float64)[order]
     isoid = np.asarray(isoid, dtype=np.int32)[order]
@@ -209,17 +213,19 @@ def fast_extinction_tiles(plan: FastPlan, d, temps, densities,
             k = k * densities[d["iso_imol"][iso_], :].T
             aL = alphal[:, iso_]                             # (nlayer, lc)
             aD = alphad_f[:, iso_] * wv
-            dist = jnp.abs(wn_blk[None, :] - wv[:, None])    # (lc, tw)
-            x = SQRTLN2 * dist[None] / aD[:, :, None]
-            y = SQRTLN2 * (aL / aD)
-            prof = voigt_k(x, y[:, :, None]) / aD[:, :, None]
+            # Lines ride the last (128-lane) axis; tw bins on sublanes:
+            dist = jnp.abs(wn_blk[:, None] - wv[None, :])    # (tw, lc)
+            inv_aD = 1.0 / aD
+            x = SQRTLN2 * dist[None] * inv_aD[:, None, :]    # (nl, tw, lc)
+            y = SQRTLN2 * (aL * inv_aD)
+            prof = voigt_k_humlicek(x, y[:, None, :]) * inv_aD[:, None, :]
             wing = nwidth * jnp.maximum(aD, aL)
-            use = dist[None] <= wing[:, :, None]
-            val = jnp.sum(jnp.where(use, prof, 0.0) * k[:, :, None],
-                          axis=1)                            # (nlayer, tw)
+            use = dist[None] <= wing[:, None, :]
+            val = jnp.sum(jnp.where(use, prof, 0.0) * k[:, None, :],
+                          axis=2)                            # (nlayer, tw)
             return acc + val, None
 
-        nblk = plan.lmax // min(line_chunk, plan.lmax)
+        nblk = max(1, plan.lmax // min(line_chunk, plan.lmax))
         lc = plan.lmax // nblk
         sls = (w.reshape(nblk, lc), e.reshape(nblk, lc), g.reshape(nblk, lc),
                i.reshape(nblk, lc), msk.reshape(nblk, lc))

@@ -78,6 +78,27 @@ def plan_lines(wl: np.ndarray, isoid: np.ndarray, elow: np.ndarray,
     onwn = owns_v.shape[0]
     wn_top = owns_v[-1]
 
+    try:
+        from transit_tpu import _native
+    except ImportError:
+        _native = None
+    if _native is not None and n:
+        gid_b, prim_b, inr_b, iown_b, idwn_b = _native.group_partition(
+            np.ascontiguousarray(wavn), np.ascontiguousarray(isoid),
+            np.ascontiguousarray(owns_v, dtype=np.float64),
+            float(wn_i), float(odwn), float(dwn), float(wn_top))
+        return LinePlan(
+            wavn=wavn, isoid=isoid,
+            elow=np.asarray(elow, dtype=np.float64),
+            gf=np.asarray(gf, dtype=np.float64),
+            gid=np.frombuffer(gid_b, dtype=np.int32).copy(),
+            inrange=(wavn >= wn_i) & (wavn <= wn_top),
+            g_primary=np.frombuffer(prim_b, dtype=np.int32).copy(),
+            g_inrange=np.frombuffer(inr_b, dtype=np.uint8).astype(bool),
+            g_iown=np.frombuffer(iown_b, dtype=np.int64).copy(),
+            g_idwn=np.frombuffer(idwn_b, dtype=np.int64).copy(),
+            n_coarse=n_coarse, ofactor=ofactor)
+
     gid = np.zeros(n, dtype=np.int32)
     g_primary = []
     g_inrange = []
