@@ -229,11 +229,18 @@ def fast_extinction_tiles(plan: FastPlan, d, temps, densities,
         lc = plan.lmax // nblk
         sls = (w.reshape(nblk, lc), e.reshape(nblk, lc), g.reshape(nblk, lc),
                i.reshape(nblk, lc), msk.reshape(nblk, lc))
-        acc, _ = jax.lax.scan(line_block,
-                              jnp.zeros((nlayer, plan.tw), dtype=dtype), sls)
+        if nblk == 1:
+            acc, _ = line_block(jnp.zeros((nlayer, plan.tw), dtype=dtype),
+                                tuple(a[0] for a in sls))
+        else:
+            acc, _ = jax.lax.scan(
+                line_block, jnp.zeros((nlayer, plan.tw), dtype=dtype), sls)
         return acc
 
-    tiles = jax.lax.map(one_tile, jnp.arange(ntiles))
+    # Batch tiles so each XLA op is large enough to amortize dispatch:
+    elems = nlayer * plan.tw * plan.lmax
+    batch = int(max(1, min(ntiles, 6_000_000 // max(elems, 1) + 1)))
+    tiles = jax.lax.map(one_tile, jnp.arange(ntiles), batch_size=batch)
     # (ntiles, nlayer, tw) -> (nlayer, ntiles*tw)
     return jnp.moveaxis(tiles, 0, 1).reshape(nlayer, ntiles * plan.tw)
 
