@@ -95,6 +95,82 @@ def make_tli():
     write_tli(os.path.join(FIX, "test.tli"), data)
 
 
+def make_multi():
+    """Second fixture: two databases (CH4 + H2O), four species."""
+    rng = np.random.default_rng(21)
+    nl = 16
+    press = np.logspace(0.5, -4, nl)
+    temp = 1450.0 + 120.0 * np.tanh(np.log10(press))
+    radius = 91000.0 + np.cumsum(np.full(nl, 150.0))
+    qch4 = np.full(nl, 4e-4)
+    qh2o = np.full(nl, 2e-4)
+    qhe = np.full(nl, 0.15)
+    qh2 = 1.0 - qhe - qch4 - qh2o
+    with open(os.path.join(FIX, "multi.atm"), "w") as f:
+        f.write("# multi-species atmosphere\nur 1e5\nup 1e6\nq number\n\n"
+                "#SPECIES\nHe H2 CH4 H2O\n\n#DATA\n")
+        for i in range(nl):
+            f.write(f" {radius[i]:.3f} {press[i]:.6e} {temp[i]:.2f} "
+                    f"{qhe[i]:.8e} {qh2[i]:.8e} {qch4[i]:.8e} "
+                    f"{qh2o[i]:.8e}\n")
+    with open(os.path.join(FIX, "molecules_multi.dat"), "w") as f:
+        f.write("# ID name mass diam src pol\n"
+                "   2    He         4.0026020   2.0   01  0.208\n"
+                " 105    H2         2.01588     2.89  02  0.787\n"
+                " 102    CH4       16.0425      4.0   01  2.448\n"
+                " 101    H2O       18.01528     3.2   01  1.501\n")
+
+    temps = np.arange(70.0, 3020.0, 50.0)
+    dbs = []
+    all_wl, all_iso, all_elow, all_gf = [], [], [], []
+    offset = 0
+    for name, mol, isos, nlines, span in (
+            ("synth-ch4", "CH4",
+             [("CH4-1", 16.0425, 0.98842), ("CH4-2", 17.0423, 0.0111)],
+             300, (1992.0, 2108.0)),
+            ("synth-h2o", "H2O",
+             [("H2O-1", 18.010565, 0.9973)], 180, (1990.0, 2110.0))):
+        tli_isos = []
+        for k, (iname, mass, ratio) in enumerate(isos):
+            z = (100.0 + 30 * k) * (temps / 296.0) ** (1.5 - 0.1 * k)
+            tli_isos.append(TliIsotope(iname, mass, ratio, z))
+        dbs.append(TliDatabase(name, mol, temps, tli_isos))
+        wn = rng.uniform(*span, nlines)
+        all_wl.append(1e4 / wn)
+        all_iso.append(offset + (rng.integers(0, len(isos), nlines)
+                                 ).astype(np.int16))
+        all_elow.append(rng.uniform(0, 3500.0, nlines))
+        all_gf.append(10.0 ** rng.uniform(-8, -2, nlines))
+        offset += len(isos)
+    wl = np.concatenate(all_wl)
+    isoid = np.concatenate(all_iso)
+    elow = np.concatenate(all_elow)
+    gf = np.concatenate(all_gf)
+    wl, isoid, elow, gf, isotran = sort_lines(wl, isoid, elow, gf)
+    write_tli(os.path.join(FIX, "multi.tli"),
+              TliData(version=6, iwav=float(wl.min()), fwav=float(wl.max()),
+                      databases=dbs, wl=wl, isoid=isoid, elow=elow, gf=gf,
+                      isotran=isotran))
+
+
+CFG_MULTI = """
+atm     {fix}/multi.atm
+linedb  {fix}/multi.tli
+csfile  {fix}/test_cia.dat
+molfile {fix}/molecules_multi.dat
+wnlow   2000
+wnhigh  2100
+wndelt  1.0
+wnosamp 216
+wnfct   1.0
+ndop    15
+nlor    15
+nwidth  20
+ethresh 1e-8
+verb    1
+"""
+
+
 CFG_COMMON = """
 atm     {fix}/test.atm
 linedb  {fix}/test.tli
@@ -222,6 +298,15 @@ def main():
     np.savez_compressed(os.path.join(GOLD, "ref_eclipse_raddelt.npz"), **r)
     shutil.copy("/tmp/goldrun_raddelt/ext.save",
                 os.path.join(GOLD, "ref_ext.save"))
+
+    # Multi-database / multi-molecule fixture:
+    make_multi()
+    mcfg = CFG_MULTI.format(fix=FIX)
+    r = run_reference(mcfg, "/tmp/goldrun_multi", "eclipse", 1e30,
+                      extra="raygrid 0 40 80\n")
+    np.savez_compressed(os.path.join(GOLD, "ref_multi_eclipse.npz"), **r)
+    r = run_reference(mcfg, "/tmp/goldrun_multi_t", "transit", 1e30)
+    np.savez_compressed(os.path.join(GOLD, "ref_multi_transit.npz"), **r)
 
     print("golden files written to", GOLD)
 

@@ -101,3 +101,44 @@ class TestTransit:
         res = model.compute()
         np.testing.assert_allclose(np.asarray(res.spectrum), g["spec"],
                                    rtol=1e-5)
+
+
+class TestMultiDatabase:
+    """Two TLI databases (CH4 2 isotopes + H2O 1 isotope), four species —
+    exercises the cumulative-isotope / molecule mapping (setimol,
+    readlineinfo.c:249-278)."""
+
+    def multi_config(self, solution):
+        return TransitConfig(
+            atm=f"{FIX}/multi.atm", linedb=f"{FIX}/multi.tli",
+            csfile=f"{FIX}/test_cia.dat",
+            molfile=f"{FIX}/molecules_multi.dat",
+            wnlow=2000.0, wnhigh=2100.0, wndelt=1.0, wnosamp=216,
+            wnfct=1.0, ndop=15, nlor=15, nwidth=20.0, ethreshold=1e-8,
+            solution=solution, toomuch=1e30, raygrid="0 40 80")
+
+    def test_eclipse(self):
+        g = np.load(os.path.join(GOLD, "ref_multi_eclipse.npz"))
+        model = TransitModel(self.multi_config("eclipse"))
+        assert model.iso.mass.shape[0] == 3
+        assert model.iso.nmol_out == 2
+        res = model.compute()
+        np.testing.assert_allclose(np.asarray(res.extinction), g["ext"],
+                                   rtol=5e-5, atol=g["ext"].max() * 1e-10)
+        np.testing.assert_allclose(np.asarray(res.spectrum), g["spec"],
+                                   rtol=1e-5)
+
+    def test_transit(self):
+        g = np.load(os.path.join(GOLD, "ref_multi_transit.npz"))
+        model = TransitModel(self.multi_config("transit"))
+        res = model.compute()
+        np.testing.assert_allclose(np.asarray(res.spectrum), g["spec"],
+                                   rtol=1e-5)
+
+    def test_fast_mode_multi(self):
+        model = TransitModel(self.multi_config("eclipse"), mode="fast")
+        res = model.compute()
+        g = np.load(os.path.join(GOLD, "ref_multi_eclipse.npz"))
+        rel = np.abs(np.asarray(res.spectrum) / g["spec"] - 1.0)
+        assert np.median(rel) < 2e-3
+        assert rel.max() < 0.1

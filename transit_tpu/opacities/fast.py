@@ -237,10 +237,10 @@ def fast_extinction_tiles(plan: FastPlan, d, temps, densities,
                 line_block, jnp.zeros((nlayer, plan.tw), dtype=dtype), sls)
         return acc
 
-    # Batch tiles so each XLA op is large enough to amortize dispatch:
-    elems = nlayer * plan.tw * plan.lmax
-    batch = int(max(1, min(ntiles, 6_000_000 // max(elems, 1) + 1)))
-    tiles = jax.lax.map(one_tile, jnp.arange(ntiles), batch_size=batch)
+    # Note: lax.map batch_size would amortize per-tile dispatch further
+    # (0.81 -> 0.62 s on the CPU bench) but its vmapped graph stalls the
+    # TPU remote compiler for >25 min; plain map compiles in ~2 min.
+    tiles = jax.lax.map(one_tile, jnp.arange(ntiles))
     # (ntiles, nlayer, tw) -> (nlayer, ntiles*tw)
     return jnp.moveaxis(tiles, 0, 1).reshape(nlayer, ntiles * plan.tw)
 
