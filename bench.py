@@ -30,24 +30,28 @@ sys.path.insert(0, HERE)
 BASELINE_C_POINTS_PER_S = 2000 * 100 / 0.80
 
 
-def main():
-    from benchmarks.make_workload import make, DATA, NL, WN_LO, WN_HI, WN_DELT, WNOSAMP
+def _model():
+    from benchmarks.make_workload import (make, DATA, WN_LO, WN_HI,
+                                          WN_DELT, WNOSAMP)
     if not os.path.exists(os.path.join(DATA, "bench.tli")):
         make()
-
-    import jax
     import jax.numpy as jnp
     from transit_tpu.config import TransitConfig
     from transit_tpu.model import TransitModel
-
     cfg = TransitConfig(
         atm=f"{DATA}/bench.atm", linedb=f"{DATA}/bench.tli",
         csfile=f"{DATA}/bench_cia.dat", molfile=f"{DATA}/molecules.dat",
         wnlow=WN_LO, wnhigh=WN_HI, wndelt=WN_DELT, wnosamp=WNOSAMP,
         wnfct=1.0, nwidth=20.0, ethreshold=1e-8,
         solution="eclipse", toomuch=1e30)
+    return TransitModel(cfg, dtype=jnp.float32, mode="fast")
 
-    model = TransitModel(cfg, dtype=jnp.float32, mode="fast")
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    model = _model()
     temps = jnp.asarray(model.atm.temp, dtype=model.dtype)
     q = jnp.asarray(model.atm.q, dtype=model.dtype)
 
@@ -74,5 +78,39 @@ def main():
     }))
 
 
+def retrieval_bench(batch=64):
+    """BART-style batched retrieval: vmap over atmospheric profiles.
+    The reference runs one MCMC sample per process; here a whole batch is
+    one device program.  Reports spectra/s."""
+    import jax
+    import jax.numpy as jnp
+
+    model = _model()
+    t0v = jnp.asarray(model.atm.temp, dtype=model.dtype)
+    q0 = jnp.asarray(model.atm.q, dtype=model.dtype)
+    temps = jnp.stack([t0v + 0.5 * i for i in range(batch)])
+    qs = jnp.stack([q0] * batch)
+    step = jax.jit(jax.vmap(model.forward))
+    out = step(temps, qs)
+    out.block_until_ready()
+    runs = 3
+    t0 = time.perf_counter()
+    for i in range(runs):
+        out = step(temps + np.float32(0.01 * i), qs)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / runs
+    value = batch / dt
+    print(json.dumps({
+        "metric": "retrieval_spectra_per_s",
+        "value": round(value, 2),
+        "unit": f"spectra/s (vmap batch {batch}, {model.wns.n}wn x "
+                f"{model.atm.nlayers}layers, f32)",
+        "vs_baseline": round(value / (1.0 / 0.80), 3),
+    }))
+
+
 if __name__ == "__main__":
-    main()
+    if "--retrieval" in sys.argv:
+        retrieval_bench()
+    else:
+        main()

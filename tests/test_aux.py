@@ -63,3 +63,43 @@ def test_timers_and_logging(capsys):
         _ = sum(range(1000))
     rep = t.report()
     assert "demo" in rep and "TOTAL" in rep
+
+
+def test_downsample_matches_reference_semantics():
+    from transit_tpu.numerics.resample import downsample, resample
+    # Example from the reference docstring (numerical.c:313-323):
+    I = np.arange(7.0)
+    out = downsample(I, 3)
+    np.testing.assert_allclose(out, [(0 + 1) / 2.0, (2 + 3 + 4) / 3.0,
+                                     (5 + 6) / 2.0])
+    # Even factor: interior bins divide by `scale` (the reference CODE,
+    # numerical.c:352 — its docstring says scale+1, the code wins), and
+    # the last bin is (I5 + 0.5 I6)/1.5:
+    out2 = downsample(I, 2)
+    np.testing.assert_allclose(
+        out2, [(0 + 0.5 * 1) / 1.5, (0.5 * 1 + 2 + 0.5 * 3) / 2.0,
+               (0.5 * 3 + 4 + 0.5 * 5) / 2.0, (5 + 0.5 * 6) / 1.5])
+    np.testing.assert_allclose(resample(I, 3), [0, 3, 6])
+
+
+def test_kepler_orbit():
+    from transit_tpu.rt.orbit import kepler_solve, planet_position
+    # Circular orbit: E == M
+    np.testing.assert_allclose(kepler_solve(1.3, 0.0), 1.3)
+    # Eccentric: verify Kepler's equation holds
+    E = kepler_solve(2.0, 0.3)
+    np.testing.assert_allclose(E - 0.3 * np.sin(E), 2.0, rtol=1e-12)
+    x, y, r = planet_position(smaxis=0.05, time=0.0, ecc=0.0)
+    assert r > 0
+
+
+def test_model_setters():
+    from tests.test_conformance import make_config
+    from transit_tpu.model import TransitModel
+    m = TransitModel(make_config("eclipse", 1e30), mode="fast")
+    m.set_scattering(-1.0)
+    assert m._scatter_flag == 1
+    m.set_cloudtop(0.5)
+    assert m._cloud.cloudtop == 0.5
+    m.set_radius(92000.0)
+    assert m.cfg.refradius == 92000.0

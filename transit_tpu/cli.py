@@ -128,6 +128,34 @@ def save_files(res, model):
              model.rads_v, np.asarray(res.extinction), "radius:")
 
 
+def write_detail(spec, wns, rows_axis, arr, radfirst):
+    """--detailext/--detailcia/--detailtau outputs (tau.c:525-605
+    detailout): selected-wavenumber columns vs radius rows.
+
+    spec: "filename:wn1,wn2,...".  arr is (nrow, nwn) if radfirst else
+    (nwn, nrow).
+    """
+    fname, wlist = spec.split(":")
+    vals = [float(v) for v in wlist.split(",")]
+    idx = []
+    for v in vals:
+        # Reference binary search: largest index with wns[d] <= v
+        # (tau.c:554-569):
+        d = int(np.searchsorted(wns, v, side="right") - 1)
+        idx.append(max(d, 0))
+    with open(fname, "w") as f:
+        f.write("#Radius-w=>    ")
+        for i in idx:
+            f.write(f"{wns[i]:<15.8g}")
+        f.write("\n")
+        for m, r in enumerate(rows_axis):
+            f.write(f"{r:<15.7g}")
+            for i in idx:
+                val = arr[m, i] if radfirst else arr[i, m]
+                f.write(f"{val:<15.7g}")
+            f.write("\n")
+
+
 def write_sample_info(path, model):
     """outsample report (makesample.c:639-672, 743-772)."""
     if not path:
@@ -175,6 +203,15 @@ def main(argv=None):
         write_sample_info(cfg.outsample, model)
     if cfg.savefiles:
         save_files(res, model)
+    if cfg.detailext:
+        write_detail(cfg.detailext, res.wns, model.rads_v,
+                     np.asarray(res.extinction), radfirst=True)
+    if cfg.detailcia:
+        write_detail(cfg.detailcia, res.wns, model.rads_v,
+                     np.asarray(res.cia), radfirst=False)
+    if cfg.detailtau:
+        write_detail(cfg.detailtau, res.wns, model.ips_v,
+                     np.asarray(res.tau), radfirst=False)
     return 0
 
 

@@ -65,6 +65,9 @@ class TransitConfig:
     cloud: Optional[str] = None           # "flag,ext,top,bot[,...]"
     cloudtop: Optional[float] = None
     scattering: Optional[str] = None
+    detailext: Optional[str] = None       # "filename:wn1,wn2,..."
+    detailcia: Optional[str] = None
+    detailtau: Optional[str] = None
 
     # Opacity grid (argum.c:270-284):
     saveext: Optional[str] = None
@@ -96,7 +99,8 @@ _BOOL_FLAGS = {"justOpacity", "shareOpacity", "transparent", "savefiles"}
 _INT_FIELDS = {"wnosamp", "ndop", "nlor", "taulevel", "modlevel", "verb"}
 _STR_FIELDS = {"atm", "linedb", "csfile", "molfile", "outspec", "outtoomuch",
                "outsample", "outintens", "qmol", "qscale", "solution",
-               "raygrid", "opacityfile", "cloud", "scattering", "saveext"}
+               "raygrid", "opacityfile", "cloud", "scattering", "saveext",
+               "detailext", "detailcia", "detailtau"}
 _ALIASES = {"ethresh": "ethreshold"}
 
 

@@ -59,9 +59,11 @@ class SpectrumResult:
 
 
 class TransitModel:
-    def __init__(self, cfg: TransitConfig, dtype=None, mode: str = "exact"):
+    def __init__(self, cfg: TransitConfig, dtype=None, mode: str = "exact",
+                 use_pallas: bool = False):
         self.cfg = cfg
         self.mode = mode
+        self.use_pallas = use_pallas
         if dtype is None:
             dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
         self.dtype = dtype
@@ -288,10 +290,16 @@ class TransitModel:
         if self.mode == "fast":
             if self.fplan is None:
                 return jnp.zeros((nl, self.wns.n), dtype=self.dtype)
-            return fast.fast_extinction(
-                self.fplan, self.fdev, temps_cgs, densities, Z,
-                mol_mass, mol_radius, wn_i=self.wns.i, dwn=self.wns.d,
-                ethresh=self.cfg.ethreshold, nwidth=self.cfg.nwidth)
+            kw = dict(wn_i=self.wns.i, dwn=self.wns.d,
+                      ethresh=self.cfg.ethreshold, nwidth=self.cfg.nwidth)
+            if self.use_pallas:
+                from transit_tpu.opacities.pallas_lbl import pallas_extinction
+                return pallas_extinction(self.fplan, self.fdev, temps_cgs,
+                                         densities, Z, mol_mass, mol_radius,
+                                         **kw)
+            return fast.fast_extinction(self.fplan, self.fdev, temps_cgs,
+                                        densities, Z, mol_mass, mol_radius,
+                                        **kw)
         if self.plan is None or self.plan.n_lines == 0:
             return jnp.zeros((nl, self.wns.n), dtype=self.dtype)
         wn0 = float(self.wns.v[0])
@@ -377,6 +385,23 @@ class TransitModel:
                 return spec
             return SpectrumResult(wns=self.wns.v, spectrum=spec, tau=tau,
                                   last=last, extinction=ex, cia=e_cs)
+
+    # ------------------------------------------------------------------
+    # Embedding API parity with the reference's re-entrant interface
+    # (transit.c:98-115 set_radius/set_cloudtop/set_scattering):
+    def set_radius(self, refradius: float):
+        """Set the reference ('surface') radius for hydrostatic solves."""
+        self.cfg.refradius = refradius
+
+    def set_cloudtop(self, cloudtop: float):
+        """Set the cloud-deck top pressure (log10 of the pressure in the
+        atmosphere file's units)."""
+        self._cloud.cloudtop = cloudtop
+
+    def set_scattering(self, logext: float):
+        """Set the Lecavelier H2-Rayleigh log-extinction parameter."""
+        self._scatter_flag = 1
+        self._scatter_logext = logext
 
     # ------------------------------------------------------------------
     def compute(self):
