@@ -142,3 +142,21 @@ class TestMultiDatabase:
         rel = np.abs(np.asarray(res.spectrum) / g["spec"] - 1.0)
         assert np.median(rel) < 2e-3
         assert rel.max() < 0.1
+
+
+def test_eclipse_full_oversampling():
+    """wnosamp = 2160 (the demo's production value): exercises large
+    profiles including the VOIGT_QUICK path (nvgt > 99999,
+    extinction.c:50-51)."""
+    g = np.load(os.path.join(GOLD, "ref_eclipse_osamp2160.npz"))
+    cfg = make_config("eclipse", 1e30, raygrid="0 40 80")
+    cfg.wnhigh = 2050.0
+    cfg.wnosamp = 2160
+    model = TransitModel(cfg)
+    from transit_tpu.opacities.voigt import VOIGT_MAXELEMENTS
+    assert int(2 * model.table.profsize.max() + 1) > VOIGT_MAXELEMENTS
+    res = model.compute()
+    np.testing.assert_allclose(np.asarray(res.extinction), g["ext"],
+                               rtol=5e-5, atol=g["ext"].max() * 1e-10)
+    np.testing.assert_allclose(np.asarray(res.spectrum), g["spec"],
+                               rtol=1e-5)

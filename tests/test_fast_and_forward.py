@@ -135,3 +135,15 @@ def test_jnp_modulation_table_matches_numpy():
     Wn = modulation_weight_table(ipv)
     Wj = np.asarray(modulation_weight_table_jnp(jnp.asarray(ipv)))
     np.testing.assert_allclose(Wj, Wn, rtol=1e-10, atol=1e-14)
+
+
+def test_run_transit_flat_api():
+    """BART-style flat input [T..., q...] matches forward()."""
+    cfg = make_config("eclipse", 1e30)
+    m = TransitModel(cfg, mode="fast")
+    t0 = np.asarray(m.atm.temp)
+    q0 = np.asarray(m.atm.q)
+    flat = np.concatenate([t0, q0.reshape(-1)])
+    a = np.asarray(m.run_transit(jnp.asarray(flat)))
+    b = np.asarray(m.forward(jnp.asarray(t0), jnp.asarray(q0)))
+    np.testing.assert_allclose(a, b, rtol=1e-12)

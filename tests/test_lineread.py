@@ -176,3 +176,19 @@ verb 1
     d = np.loadtxt(tmp_path / "spec.dat")
     assert d.shape[0] == 51
     assert np.all(np.isfinite(d))
+
+
+def test_read_tli_band():
+    """Band-windowed TLI reads match the full read filtered."""
+    from transit_tpu.io.tli import read_tli, read_tli_band
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "fixtures", "test.tli")
+    full = read_tli(path)
+    lo, hi = 4.80, 4.95
+    band = read_tli_band(path, lo, hi)
+    keep = (full.wl >= lo) & (full.wl <= hi)
+    np.testing.assert_array_equal(band.wl, full.wl[keep])
+    np.testing.assert_array_equal(band.isoid, full.isoid[keep])
+    np.testing.assert_array_equal(band.gf, full.gf[keep])
+    assert band.isotran.sum() == keep.sum()
+    assert len(band.databases) == len(full.databases)

@@ -149,6 +149,87 @@ def read_tli(path: str) -> TliData:
                    wl=wl, isoid=isoid, elow=elow, gf=gf, isotran=isotran)
 
 
+def read_tli_band(path: str, wl_min_um: float, wl_max_um: float) -> TliData:
+    """Read only the lines with wavelength in [wl_min, wl_max] microns.
+
+    The per-host loading path for band-sharded multi-host runs (and the
+    analogue of the reference's in-file binary search, readdatarng
+    readlineinfo.c:416-537): headers are parsed normally, then each
+    isotope's sorted wavelength block is searchsorted via memmap so only
+    the window's records are touched — 1e9-line TLIs load in O(band).
+    """
+    header = read_tli_header(path)
+    (data_off, nlines, isotran) = header["_line_layout"]
+    wl_mm = np.memmap(path, dtype="<f8", mode="r", offset=data_off,
+                      shape=(nlines,))
+    iso_off = data_off + 8 * nlines
+    el_off = iso_off + 2 * nlines
+    gf_off = el_off + 8 * nlines
+    iso_mm = np.memmap(path, dtype="<i2", mode="r", offset=iso_off,
+                       shape=(nlines,))
+    el_mm = np.memmap(path, dtype="<f8", mode="r", offset=el_off,
+                      shape=(nlines,))
+    gf_mm = np.memmap(path, dtype="<f8", mode="r", offset=gf_off,
+                      shape=(nlines,))
+
+    parts = []
+    start = 0
+    for cnt in isotran:
+        cnt = int(cnt)
+        block = wl_mm[start:start + cnt]
+        lo = start + int(np.searchsorted(block, wl_min_um, side="left"))
+        hi = start + int(np.searchsorted(block, wl_max_um, side="right"))
+        parts.append((lo, hi))
+        start += cnt
+    wl = np.concatenate([np.asarray(wl_mm[lo:hi]) for lo, hi in parts])
+    isoid = np.concatenate([np.asarray(iso_mm[lo:hi]) for lo, hi in parts])
+    elow = np.concatenate([np.asarray(el_mm[lo:hi]) for lo, hi in parts])
+    gf = np.concatenate([np.asarray(gf_mm[lo:hi]) for lo, hi in parts])
+    new_isotran = np.array([hi - lo for lo, hi in parts if hi > lo],
+                           dtype=np.uint64)
+    return TliData(version=header["version"], iwav=header["iwav"],
+                   fwav=header["fwav"], databases=header["databases"],
+                   wl=wl, isoid=isoid, elow=elow, gf=gf,
+                   isotran=new_isotran)
+
+
+def read_tli_header(path: str) -> dict:
+    """Parse only the TLI header (databases, partition functions) plus the
+    line-section layout, without reading line data."""
+    with open(path, "rb") as f:
+        raw = f.read(4)
+        if raw not in (_MAGIC_LITTLE, _MAGIC_BIG):
+            raise ValueError(f"{path}: bad TLI magic {raw!r}")
+        hdr = f.read(struct.calcsize("<3H2dH"))
+        tli_ver, lr_ver, lr_rev, iwav, fwav, ndb = struct.unpack("<3H2dH",
+                                                                 hdr)
+        if tli_ver != TLI_VERSION:
+            raise ValueError(f"{path}: TLI version {tli_ver}")
+        databases = []
+        for _ in range(ndb):
+            (ln,) = struct.unpack("<H", f.read(2))
+            name = f.read(ln).decode("ascii")
+            (ln,) = struct.unpack("<H", f.read(2))
+            mol = f.read(ln).decode("ascii")
+            nT, niso = struct.unpack("<2H", f.read(4))
+            temps = np.frombuffer(f.read(8 * nT), "<f8").copy()
+            isotopes = []
+            for _ in range(niso):
+                (ln,) = struct.unpack("<H", f.read(2))
+                iname = f.read(ln).decode("ascii")
+                mass, ratio = struct.unpack("<2d", f.read(16))
+                z = np.frombuffer(f.read(8 * nT), "<f8").copy()
+                isotopes.append(TliIsotope(iname, mass, ratio, z))
+            databases.append(TliDatabase(name, mol, temps, isotopes))
+        (nlines,) = struct.unpack("<Q", f.read(8))
+        (niso_l,) = struct.unpack("<i", f.read(4))
+        isotran = np.frombuffer(f.read(8 * niso_l), "<u8").copy()
+        data_off = f.tell()
+    return {"version": tli_ver, "iwav": iwav, "fwav": fwav,
+            "databases": databases,
+            "_line_layout": (data_off, int(nlines), isotran)}
+
+
 def write_tli(path: str, data: TliData) -> None:
     """Write a TLI v6 file readable by both this package and the reference."""
     out = bytearray()

@@ -387,6 +387,19 @@ class TransitModel:
                                   last=last, extinction=ex, cia=e_cs)
 
     # ------------------------------------------------------------------
+    def run_transit(self, flat_input):
+        """Drop-in analogue of the reference's retrieval entry point
+        (transit.c:118-122 run_transit via SWIG, transit.i:103): one flat
+        array [T_0..T_nl-1, q_mol0_0.., ..., q_molN_..] of length
+        nlayers*(nmol+1) -> spectrum.  Jittable/differentiable."""
+        nl = self.atm.nlayers
+        nmol = len(self.atm.species)
+        flat_input = jnp.asarray(flat_input, dtype=self.dtype)
+        temps = flat_input[:nl]
+        q = flat_input[nl:nl * (nmol + 1)].reshape(nmol, nl)
+        return self.forward(temps, q)
+
+    # ------------------------------------------------------------------
     # Embedding API parity with the reference's re-entrant interface
     # (transit.c:98-115 set_radius/set_cloudtop/set_scattering):
     def set_radius(self, refradius: float):

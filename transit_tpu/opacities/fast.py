@@ -225,8 +225,14 @@ def fast_extinction_tiles(plan: FastPlan, d, temps, densities,
                           axis=2)                            # (nlayer, tw)
             return acc + val, None
 
-        nblk = max(1, plan.lmax // min(line_chunk, plan.lmax))
-        lc = plan.lmax // nblk
+        # Chunk size: largest multiple of 128 <= line_chunk that divides
+        # lmax (lmax is always a multiple of 128):
+        lc = plan.lmax
+        for cand in range(min(line_chunk, plan.lmax), 0, -128):
+            if plan.lmax % cand == 0:
+                lc = cand
+                break
+        nblk = plan.lmax // lc
         sls = (w.reshape(nblk, lc), e.reshape(nblk, lc), g.reshape(nblk, lc),
                i.reshape(nblk, lc), msk.reshape(nblk, lc))
         if nblk == 1:

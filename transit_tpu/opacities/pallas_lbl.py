@@ -42,17 +42,19 @@ def _kernel(wavn_ref, elow_ref, gf_ref, iso_ref, mask_ref,
     nchunks = lmax // LANE
 
     def tile_acc(g, tile, _):
-        """Extinction for one tw-bin tile: (LT, tw)."""
-        wn_col = (wn_i + dwn * (tile * tw) +
-                  dwn * jax.lax.broadcasted_iota(dtype, (tw, 1), 0))
+        """Extinction for one tw-bin tile: (LT, tw).  g is a static
+        (unrolled) index into this group's block of line rows — Mosaic
+        requires static sublane indices for VMEM loads."""
+        bin_ids = jax.lax.broadcasted_iota(jnp.int32, (tw, 1), 0)
+        wn_col = (wn_i + dwn * (tile * tw) + dwn * bin_ids.astype(dtype))
 
         def chunk(c, a):
             sl = pl.ds(c * LANE, LANE)
-            wv = wavn_ref[tile, sl][None, :]    # (1, LANE)
-            el = elow_ref[tile, sl][None, :]
-            gf = gf_ref[tile, sl][None, :]
-            iso = iso_ref[tile, sl][None, :]
-            msk = mask_ref[tile, sl][None, :] != 0
+            wv = wavn_ref[g, sl][None, :]    # (1, LANE)
+            el = elow_ref[g, sl][None, :]
+            gf = gf_ref[g, sl][None, :]
+            iso = iso_ref[g, sl][None, :]
+            msk = mask_ref[g, sl][None, :] != 0
 
             onehot = (iso_rows == iso).astype(dtype)      # (niso, LANE)
             aL = jnp.dot(alphal_ref[:], onehot,
@@ -137,9 +139,10 @@ def pallas_extinction(plan: FastPlan, d, temps, densities, Z,
 
     tw = plan.tw
     lmax = plan.lmax
-    # Tile groups: the output block's lane dim must be a multiple of 128,
-    # so each kernel instance handles tg = 128/tw (min 1) tiles:
-    tg = max(1, LANE // tw)
+    # Tile groups: the output block's lane dim must be a multiple of 128
+    # and the line-tensor block's sublane dim a multiple of 8, so each
+    # kernel instance handles tg = max(8, 128/tw) tiles:
+    tg = max(8, LANE // tw)
     ntp = -(-plan.ntiles // tg) * tg           # padded tile count
     pad_t = ntp - plan.ntiles
 
@@ -161,14 +164,13 @@ def pallas_extinction(plan: FastPlan, d, temps, densities, Z,
         kern,
         grid=grid,
         in_specs=[
-            # Line tensors live whole in VMEM (Pallas TPU requires the
-            # second-minor block dim to be a multiple of 8 or the full
-            # array); the kernel indexes its tile's row directly:
-            pl.BlockSpec((ntp, lmax), lambda t, l: (0, 0)),  # wavn
-            pl.BlockSpec((ntp, lmax), lambda t, l: (0, 0)),  # elow
-            pl.BlockSpec((ntp, lmax), lambda t, l: (0, 0)),  # gf
-            pl.BlockSpec((ntp, lmax), lambda t, l: (0, 0)),  # iso
-            pl.BlockSpec((ntp, lmax), lambda t, l: (0, 0)),  # mask
+            # One group (tg tiles) of line rows per instance; the kernel
+            # indexes rows with the static unrolled index g:
+            pl.BlockSpec((tg, lmax), lambda t, l: (t, 0)),  # wavn
+            pl.BlockSpec((tg, lmax), lambda t, l: (t, 0)),  # elow
+            pl.BlockSpec((tg, lmax), lambda t, l: (t, 0)),  # gf
+            pl.BlockSpec((tg, lmax), lambda t, l: (t, 0)),  # iso
+            pl.BlockSpec((tg, lmax), lambda t, l: (t, 0)),  # mask
             pl.BlockSpec((LT, 1), lambda t, l: (l, 0)),       # temps
             pl.BlockSpec((LT, niso_pad), lambda t, l: (l, 0)),  # alphal
             pl.BlockSpec((LT, niso_pad), lambda t, l: (l, 0)),  # alphad_f
