@@ -147,3 +147,22 @@ def test_run_transit_flat_api():
     a = np.asarray(m.run_transit(jnp.asarray(flat)))
     b = np.asarray(m.forward(jnp.asarray(t0), jnp.asarray(q0)))
     np.testing.assert_allclose(a, b, rtol=1e-12)
+
+
+def test_banded_matches_unbanded():
+    """Layer-banded plans (+ tile line-count classes) must reproduce the
+    single-global-halo fast path exactly (the wing mask uses true
+    per-layer widths in both; banding only skips evaluating pairs the
+    mask would zero)."""
+    cfg = make_config("eclipse", 1e30)
+    m0 = TransitModel(cfg, mode="fast")
+    mb = TransitModel(cfg, mode="fast", bands=6)
+    assert mb.bplan is not None and len(mb.bplan.plans) >= 2
+    t = jnp.asarray(m0.atm.temp, m0.dtype)
+    q = jnp.asarray(m0.atm.q, m0.dtype)
+    s0 = np.asarray(jax.jit(m0.forward)(t, q))
+    sb = np.asarray(jax.jit(mb.forward)(t, q))
+    np.testing.assert_allclose(sb, s0, rtol=5e-7)
+    # gradients flow through the banded path:
+    g = jax.grad(lambda tt: jnp.sum(mb.forward(tt, q)))(t)
+    assert np.all(np.isfinite(np.asarray(g)))

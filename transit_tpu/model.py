@@ -60,10 +60,11 @@ class SpectrumResult:
 
 class TransitModel:
     def __init__(self, cfg: TransitConfig, dtype=None, mode: str = "exact",
-                 use_pallas: bool = False):
+                 use_pallas: bool = False, bands: int = 0):
         self.cfg = cfg
         self.mode = mode
         self.use_pallas = use_pallas
+        self.bands = bands
         if dtype is None:
             dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
         self.dtype = dtype
@@ -130,6 +131,8 @@ class TransitModel:
         self.dev = None
         self.fplan = None
         self.fdev = None
+        self.bplan = None
+        self.bdev = None
         if self.tli is not None:
             wl, isoid, elow, gf = select_lines(self.tli, self.wns.i,
                                                self.wns.f)
@@ -148,13 +151,26 @@ class TransitModel:
                                              dtype=self.dtype)
             elif mode == "fast":
                 wavn = 1.0 / (np.asarray(wl) * TLI_WAV_UNITS)
-                mw = fast.max_width_bound(self.atm, self.mol, self.iso.mass,
-                                          self.wns.f, self.iso.imol)
-                self.fplan = fast.make_fast_plan(
-                    wavn, isoid, elow, gf, wn_i=self.wns.i, dwn=self.wns.d,
-                    n_coarse=self.wns.n, max_width=mw, nwidth=cfg.nwidth)
-                self.fdev = fast.fast_device_arrays(self.fplan, self.iso,
-                                                    dtype=self.dtype)
+                if bands > 0:
+                    aL, aDf = fast.layer_width_bounds(
+                        self.atm, self.mol, self.iso.mass, self.iso.imol)
+                    self.bplan = fast.make_banded_plans(
+                        wavn, isoid, elow, gf, wn_i=self.wns.i,
+                        dwn=self.wns.d, n_coarse=self.wns.n, aL_layers=aL,
+                        aDf_layers=aDf, wn_max=self.wns.f,
+                        nwidth=cfg.nwidth, max_bands=bands)
+                    self.bdev = fast.banded_device_arrays(
+                        self.bplan, self.iso, dtype=self.dtype)
+                else:
+                    mw = fast.max_width_bound(self.atm, self.mol,
+                                              self.iso.mass, self.wns.f,
+                                              self.iso.imol)
+                    self.fplan = fast.make_fast_plan(
+                        wavn, isoid, elow, gf, wn_i=self.wns.i,
+                        dwn=self.wns.d, n_coarse=self.wns.n, max_width=mw,
+                        nwidth=cfg.nwidth)
+                    self.fdev = fast.fast_device_arrays(
+                        self.fplan, self.iso, dtype=self.dtype)
             else:
                 raise ValueError(f"unknown mode {mode!r}")
 
@@ -288,10 +304,14 @@ class TransitModel:
         mol_mass = jnp.asarray(self.mol.mass, dtype=self.dtype)
         mol_radius = jnp.asarray(self.mol.radius, dtype=self.dtype)
         if self.mode == "fast":
-            if self.fplan is None:
-                return jnp.zeros((nl, self.wns.n), dtype=self.dtype)
             kw = dict(wn_i=self.wns.i, dwn=self.wns.d,
                       ethresh=self.cfg.ethreshold, nwidth=self.cfg.nwidth)
+            if self.bands > 0 and getattr(self, "bplan", None) is not None:
+                return fast.banded_extinction(self.bplan, self.bdev,
+                                              temps_cgs, densities, Z,
+                                              mol_mass, mol_radius, **kw)
+            if self.fplan is None:
+                return jnp.zeros((nl, self.wns.n), dtype=self.dtype)
             if self.use_pallas:
                 from transit_tpu.opacities.pallas_lbl import pallas_extinction
                 return pallas_extinction(self.fplan, self.fdev, temps_cgs,

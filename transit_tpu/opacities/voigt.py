@@ -115,11 +115,20 @@ def voigt_k(x, y):
 
 def voigt_k_humlicek(x, y):
     """K(x,y) = sqrt(ln2/pi) Re[w(x+iy)] via the Humlicek (1982) w4
-    rational approximation — branch-free over the four regions.
+    rational approximation — branch-free, restructured for the VPU:
 
-    ~10x cheaper than the Pierluisi power series of :func:`voigt_k`
-    (relative accuracy ~1e-4, ample for float32); used by the fast
-    production path.  voigt_k remains the reference-faithful kernel.
+      * region I (s >= 15), an asymptotic *shortcut* of region II in the
+        scalar original, is folded into region II (whose rational is valid
+        on all of s >= 5.5) — on SIMD hardware computing both is pure waste;
+      * the three remaining regions' complex rationals Re[n/d] share a
+        single real divide (numerator/denominator selected per lane), the
+        most expensive VPU op in the kernel.
+
+    Real-pair complex arithmetic throughout (complex dtypes don't compile
+    on this TPU backend).  ~10x cheaper than the Pierluisi power series of
+    :func:`voigt_k` (relative accuracy ~1e-4, ample for float32); used by
+    the fast production path.  voigt_k remains the reference-faithful
+    kernel (pu/src/voigt.c:132-200).
     """
     x = jnp.asarray(x)
     y = jnp.asarray(y)
@@ -127,15 +136,10 @@ def voigt_k_humlicek(x, y):
     x = x.astype(dtype)
     y = jnp.broadcast_to(y.astype(dtype), x.shape)
 
-    # Real-pair complex arithmetic (complex dtypes compile poorly on TPU):
     def cmul(ar, ai, br, bi):
         return ar * br - ai * bi, ar * bi + ai * br
 
-    def cdiv_re(ar, ai, br, bi):
-        # Re(a / b)
-        return (ar * br + ai * bi) / (br * br + bi * bi)
-
-    def horner(cr_, tr_, ti_, coeffs):
+    def horner(tr_, ti_, coeffs):
         # complex Horner: p(t) with real coefficients, highest degree last
         pr = jnp.full_like(tr_, coeffs[-1])
         pi = jnp.zeros_like(tr_)
@@ -145,53 +149,52 @@ def voigt_k_humlicek(x, y):
         return pr, pi
 
     tr, ti = y, -x                       # t = y - i x
-    ur, ui = cmul(tr, ti, tr, ti)        # u = t^2
+    ur = (y - x) * (y + x)               # u = t^2
+    ui = -2.0 * x * y
     s = jnp.abs(x) + y
 
-    in1 = s >= 15.0
-    in2 = (~in1) & (s >= 5.5)
-    in4 = (s < 5.5) & (y < 0.195 * jnp.abs(x) - 0.176)
-    in3 = ~(in1 | in2 | in4)
+    in2 = s >= 5.5
+    in4 = (~in2) & (y < 0.195 * jnp.abs(x) - 0.176)
+    in3 = ~(in2 | in4)
 
-    def m(cond, val, alt):
-        # Mask unselected lanes so they can't produce inf/NaN (which would
-        # poison gradients through jnp.where):
-        return jnp.where(cond, val, alt)
+    # Mask unselected lanes so they can't produce inf/NaN (which would
+    # poison gradients through jnp.where):
+    m = jnp.where
 
-    # Region 1: w = 0.5641896 t / (0.5 + u)
-    w1 = 0.5641896 * cdiv_re(m(in1, tr, 1.0), m(in1, ti, 0.0),
-                             0.5 + m(in1, ur, 1.0), m(in1, ui, 0.0))
-
-    # Region 2: w = t (1.410474 + 0.5641896 u) / (0.75 + u (3 + u))
+    # Region II (s >= 5.5): w = t (1.410474 + 0.5641896 u) / (0.75 + u (3 + u))
     u2r, u2i = m(in2, ur, 1.0), m(in2, ui, 0.0)
     t2r, t2i = m(in2, tr, 1.0), m(in2, ti, 0.0)
-    nr, ni = cmul(t2r, t2i, 1.410474 + 0.5641896 * u2r, 0.5641896 * u2i)
-    qr, qi = cmul(u2r, u2i, 3.0 + u2r, u2i)
-    w2 = cdiv_re(nr, ni, 0.75 + qr, qi)
+    n2r, n2i = cmul(t2r, t2i, 1.410474 + 0.5641896 * u2r, 0.5641896 * u2i)
+    q2r, q2i = cmul(u2r, u2i, 3.0 + u2r, u2i)
+    d2r, d2i = 0.75 + q2r, q2i
 
-    # Region 3: degree-4 / degree-5 rational in t:
+    # Region III: degree-4 / degree-5 rational in t:
     t3r, t3i = m(in3, tr, 1.0), m(in3, ti, 0.0)
-    n3r, n3i = horner(None, t3r, t3i,
+    n3r, n3i = horner(t3r, t3i,
                       [16.4955, 20.20933, 11.96482, 3.778987, 0.5642236])
-    d3r, d3i = horner(None, t3r, t3i,
+    d3r, d3i = horner(t3r, t3i,
                       [16.4955, 38.82363, 39.27121, 21.69274, 6.699398, 1.0])
-    w3 = cdiv_re(n3r, n3i, d3r, d3i)
 
-    # Region 4: w = exp(u) - t * P(u)/Q(u)  (alternating-sign polys in u):
+    # Region IV: w = exp(u) - t * P(u)/Q(u)  (alternating-sign polys in u):
     u4r, u4i = m(in4, ur, -1.0), m(in4, ui, 0.0)
     t4r, t4i = m(in4, tr, 1.0), m(in4, ti, 0.0)
     pc = [36183.31, -3321.9905, 1540.787, -219.0313, 35.76683,
           -1.320522, 0.56419]
     qc = [32066.6, -24322.84, 9022.228, -2186.181, 364.2191,
           -61.57037, 1.841439, -1.0]
-    p4r, p4i = horner(None, u4r, u4i, pc)
-    q4r, q4i = horner(None, u4r, u4i, qc)
-    tpr, tpi = cmul(t4r, t4i, p4r, p4i)
-    # Re(exp(u)) = exp(ur) cos(ui):
+    p4r, p4i = horner(u4r, u4i, pc)
+    q4r, q4i = horner(u4r, u4i, qc)
+    n4r, n4i = cmul(t4r, t4i, p4r, p4i)
+    # Re(exp(u)) = exp(ur) cos(ui); in-region ur < 0 (y < 0.195|x|):
     exp_re = jnp.exp(u4r) * jnp.cos(u4i)
-    w4 = exp_re - cdiv_re(tpr, tpi, q4r, q4i)
 
-    w = jnp.where(in1, w1, jnp.where(in2, w2, jnp.where(in4, w4, w3)))
+    # One shared divide: Re(n/d) with n, d selected per lane:
+    nr = m(in2, n2r, m(in4, n4r, n3r))
+    ni = m(in2, n2i, m(in4, n4i, n3i))
+    dr = m(in2, d2r, m(in4, q4r, d3r))
+    di = m(in2, d2i, m(in4, q4i, d3i))
+    re = (nr * dr + ni * di) / (dr * dr + di * di)
+    w = jnp.where(in4, exp_re - re, re)
     return SQRTLN2PI * w
 
 
