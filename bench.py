@@ -61,10 +61,17 @@ def main():
     out = step(temps, q)
     out.block_until_ready()          # compile + warmup
 
-    runs = 5
+    # Distinct device-resident inputs, built OUTSIDE the timed loop: on the
+    # tunneled remote TPU of this environment, a host-side `temps + eps`
+    # between steps costs ~100 ms of round-trip latency that is not step
+    # compute (local-chip dispatch is ~50 us and would hide entirely):
+    runs = 10
+    temps_runs = [temps + np.float32(0.01 * i) for i in range(runs)]
+    for t in temps_runs:
+        t.block_until_ready()
     t0 = time.perf_counter()
     for i in range(runs):
-        out = step(temps + np.float32(0.01 * i), q)
+        out = step(temps_runs[i], q)
     out.block_until_ready()
     dt = (time.perf_counter() - t0) / runs
 
@@ -96,9 +103,12 @@ def retrieval_bench(batch=64):
     out = step(temps, qs)
     out.block_until_ready()
     runs = 3
+    temps_runs = [temps + np.float32(0.01 * i) for i in range(runs)]
+    for t in temps_runs:
+        t.block_until_ready()
     t0 = time.perf_counter()
     for i in range(runs):
-        out = step(temps + np.float32(0.01 * i), qs)
+        out = step(temps_runs[i], qs)
     out.block_until_ready()
     dt = (time.perf_counter() - t0) / runs
     value = batch / dt
@@ -111,8 +121,64 @@ def retrieval_bench(batch=64):
     }))
 
 
+def hotjupiter_bench():
+    """BASELINE workload 3: H2O+CO+CO2+CH4 hot Jupiter, 1-20 um
+    (500-10000 cm-1, dnu=0.5 -> 19001 wn), 100 layers, 200k lines,
+    H2-H2 + H2-He CIA, eclipse.  Reference C baseline measured on the
+    identical files: see benchmarks/RESULTS.md."""
+    import jax
+    import jax.numpy as jnp
+    from benchmarks.make_hotjupiter import make, DATA as HJ, WN_LO, WN_HI
+    from transit_tpu.config import TransitConfig
+    from transit_tpu.model import TransitModel
+
+    if not os.path.exists(os.path.join(HJ, "hj.tli")):
+        make()
+    cfg = TransitConfig(
+        atm=f"{HJ}/hj.atm", linedb=f"{HJ}/hj.tli",
+        csfile=f"{HJ}/cia_H2_H2.dat,{HJ}/cia_H2_He.dat",
+        molfile=f"{HJ}/molecules.dat",
+        wnlow=WN_LO, wnhigh=WN_HI, wndelt=0.5, wnosamp=2160, wnfct=1.0,
+        nwidth=20.0, ethreshold=1e-8, solution="eclipse", toomuch=1e30)
+    model = TransitModel(cfg, dtype=jnp.float32, mode="fast", bands=6)
+    temps = jnp.asarray(model.atm.temp, dtype=model.dtype)
+    q = jnp.asarray(model.atm.q, dtype=model.dtype)
+    step = jax.jit(model.forward)
+    out = step(temps, q)
+    out.block_until_ready()
+    runs = 5
+    temps_runs = [temps + np.float32(0.01 * i) for i in range(runs)]
+    for t in temps_runs:
+        t.block_until_ready()
+    t0 = time.perf_counter()
+    for i in range(runs):
+        out = step(temps_runs[i], q)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / runs
+    nwn, nl = model.wns.n, model.atm.nlayers
+    value = nwn * nl / dt
+    # Reference C on the same files (hj_ref.cfg): measured wall time,
+    # single core (see benchmarks/RESULTS.md):
+    c_seconds = HOTJUPITER_C_SECONDS
+    vs = (round(value / (nwn * nl / c_seconds), 3) if c_seconds else 0.0)
+    print(json.dumps({
+        "metric": "hotjupiter_wn_points_x_layers_per_s",
+        "value": round(value, 1),
+        "unit": f"points*layers/s (full step, {nwn}wn x {nl}layers, "
+                f"200k lines, 4 molecules, f32)",
+        "vs_baseline": vs,
+    }))
+
+
+# Reference C transit on the identical hot-Jupiter files (hj_ref.cfg),
+# single core, -O3, measured 2026-08-18 on this machine:
+HOTJUPITER_C_SECONDS = 5.4
+
+
 if __name__ == "__main__":
     if "--retrieval" in sys.argv:
         retrieval_bench()
+    elif "--hotjupiter" in sys.argv:
+        hotjupiter_bench()
     else:
         main()

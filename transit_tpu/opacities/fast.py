@@ -392,12 +392,18 @@ def layer_width_bounds(atm, mol, iso_mass, iso_imol=None):
 def make_banded_plans(wavn, isoid, elow, gf, wn_i: float, dwn: float,
                       n_coarse: int, aL_layers, aDf_layers, wn_max: float,
                       nwidth: float, max_bands: int = 4,
-                      ratio: float = 3.0) -> BandedPlan:
+                      ratio: float = 3.0, tw_scale: float = 4.0,
+                      classes: bool = True) -> BandedPlan:
     """Split layers into width bands and build one FastPlan per band.
 
     aL_layers/aDf_layers: per-layer width bounds (layer_width_bounds).
     A new band starts when the layer width falls below 1/ratio of the
     current band's maximum, up to max_bands bands.
+
+    tw_scale: tile width multiplier over the halo-sized default.  Wasted
+    Voigt work grows ~ (tw + 2 halo) but the sequential tile loop shrinks
+    ~ 1/tw; on real TPU the loop overhead of many small tiles dominates,
+    so bands default to fatter tiles than the single-plan path.
     """
     w = np.maximum(aL_layers, aDf_layers * wn_max)
     perm = np.argsort(-w, kind="stable")
@@ -412,11 +418,13 @@ def make_banded_plans(wavn, isoid, elow, gf, wn_i: float, dwn: float,
     plans = []
     for (a, b) in slices:
         sel = perm[a:b]
+        halo_est = nwidth * float(w[sel].max()) / dwn
+        tw = int(min(512, max(8, -(-int(halo_est * tw_scale) // 8) * 8)))
         plans.append(make_fast_plan(
             wavn, isoid, elow, gf, wn_i=wn_i, dwn=dwn, n_coarse=n_coarse,
-            max_width=float(w[sel].max()), nwidth=nwidth,
+            max_width=float(w[sel].max()), nwidth=nwidth, tw=tw,
             aL_max=float(aL_layers[sel].max()),
-            aDf_max=float(aDf_layers[sel].max()), classes=True))
+            aDf_max=float(aDf_layers[sel].max()), classes=classes))
     inv = np.empty_like(perm)
     inv[perm] = np.arange(len(perm))
     return BandedPlan(perm=perm, inv_perm=inv, slices=slices, plans=plans)
