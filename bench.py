@@ -175,10 +175,64 @@ def hotjupiter_bench():
 HOTJUPITER_C_SECONDS = 5.4
 
 
+def wide_bench():
+    """BASELINE scale target on one chip: ~10^6 output wavenumbers
+    (500-10000 cm-1, dnu=0.01) x 100 layers x 10^6 lines, full
+    line-by-line (no opacity grid), eclipse."""
+    import jax
+    import jax.numpy as jnp
+    from benchmarks.make_hotjupiter import (make_wide, DATA_WIDE as HJ,
+                                            WN_LO, WN_HI)
+    from transit_tpu.config import TransitConfig
+    from transit_tpu.model import TransitModel
+
+    if not os.path.exists(os.path.join(HJ, "hj.tli")):
+        make_wide()
+    cfg = TransitConfig(
+        atm=f"{HJ}/hj.atm", linedb=f"{HJ}/hj.tli",
+        csfile=f"{HJ}/cia_H2_H2.dat,{HJ}/cia_H2_He.dat",
+        molfile=f"{HJ}/molecules.dat",
+        wnlow=WN_LO, wnhigh=WN_HI, wndelt=0.01, wnosamp=216, wnfct=1.0,
+        nwidth=20.0, ethreshold=1e-8, solution="eclipse", toomuch=1e30)
+    model = TransitModel(cfg, dtype=jnp.float32, mode="fast", bands=6)
+    temps = jnp.asarray(model.atm.temp, dtype=model.dtype)
+    q = jnp.asarray(model.atm.q, dtype=model.dtype)
+    step = jax.jit(model.forward)
+    out = step(temps, q)
+    out.block_until_ready()
+    runs = 2
+    temps_runs = [temps + np.float32(0.01 * i) for i in range(runs)]
+    for t in temps_runs:
+        t.block_until_ready()
+    t0 = time.perf_counter()
+    for i in range(runs):
+        out = step(temps_runs[i], q)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / runs
+    nwn, nl = model.wns.n, model.atm.nlayers
+    value = nwn * nl / dt
+    c_seconds = WIDE_C_SECONDS
+    vs = (round(value / (nwn * nl / c_seconds), 3) if c_seconds else 0.0)
+    print(json.dumps({
+        "metric": "wide_wn_points_x_layers_per_s",
+        "value": round(value, 1),
+        "unit": f"points*layers/s (full step, {nwn}wn x {nl}layers, "
+                f"1e6 lines, 4 molecules, f32)",
+        "vs_baseline": vs,
+    }))
+
+
+# Reference C transit on the identical wide files (hj_ref.cfg in
+# benchmarks/data/hj_wide), single core, measured 2026-08-18:
+WIDE_C_SECONDS = 130.8
+
+
 if __name__ == "__main__":
     if "--retrieval" in sys.argv:
         retrieval_bench()
     elif "--hotjupiter" in sys.argv:
         hotjupiter_bench()
+    elif "--wide" in sys.argv:
+        wide_bench()
     else:
         main()

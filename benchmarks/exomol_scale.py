@@ -1,0 +1,152 @@
+"""ExoMol-scale line-list demo: 1e8-line TLI, band-sharded loading.
+
+BASELINE workload 4 is a ~1e9-line (Yurchenko CH4 via repack) list sharded
+across hosts.  This script demonstrates the machinery at 1e8 lines
+(2.6 GB TLI) on one machine:
+
+  1. compile a synthetic 1e8-line TLI (once; ~2.6 GB on disk),
+  2. per-"host" band loading with io.tli.read_tli_band — memmap binary
+     search per isotope, so a host touches only its band's bytes
+     (O(band) IO, independent of total list size; the 1e9-line case is
+     the same call),
+  3. band-local fast-plan build (the per-device tile bucketing),
+  4. optional: one extinction block on the default device (--compute).
+
+Usage: python benchmarks/exomol_scale.py [--nlines N] [--hosts H] [--compute]
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+DATA = os.path.join(HERE, "data", "exomol")
+sys.path.insert(0, os.path.dirname(HERE))
+
+WN_LO, WN_HI = 500.0, 10000.0
+CENTERS = [(1306.0, 250.0), (3019.0, 300.0), (4300.0, 250.0),
+           (6000.0, 250.0), (1600.0, 500.0), (3750.0, 400.0)]
+
+
+def make(nlines=100_000_000, data_dir=DATA):
+    from transit_tpu.io.tli import (TliData, TliDatabase, TliIsotope,
+                                    write_tli)
+    os.makedirs(data_dir, exist_ok=True)
+    path = os.path.join(data_dir, f"exomol_{nlines}.tli")
+    if os.path.exists(path):
+        return path
+    rng = np.random.default_rng(7)
+    t0 = time.time()
+    # Band-clustered wavenumbers, generated in chunks:
+    nuni = int(0.15 * nlines)
+    per = (nlines - nuni) // len(CENTERS)
+    parts = [rng.uniform(WN_LO, WN_HI, nuni)]
+    for c, w in CENTERS:
+        parts.append(np.clip(rng.normal(c, w, per), WN_LO - 20, WN_HI + 20))
+    wn = np.concatenate(parts)[:nlines]
+    del parts
+    n = wn.shape[0]
+    wl = 1e4 / wn
+    del wn
+    isoid = (rng.random(n) < 0.02).astype(np.int16)   # 2% secondary isotope
+    elow = rng.uniform(0.0, 9000.0, n)
+    gf = 10.0 ** rng.uniform(-10.0, -2.0, n)
+    print(f"generated {n} lines in {time.time()-t0:.1f}s", flush=True)
+
+    # sort by (isotope, wavelength) — the TLI contract:
+    t0 = time.time()
+    order = np.lexsort((wl, isoid))
+    wl = wl[order]; isoid = isoid[order]
+    elow = elow[order]; gf = gf[order]
+    isotran = np.bincount(isoid, minlength=2).astype(np.uint64)
+    print(f"sorted in {time.time()-t0:.1f}s", flush=True)
+
+    t_pf = np.arange(70.0, 3020.0, 50.0)
+    dbs = [TliDatabase("synth-exomol-ch4", "CH4", t_pf, [
+        TliIsotope("CH4-1", 16.0425, 0.98842, 600.0 * (t_pf / 296.0) ** 1.6),
+        TliIsotope("CH4-2", 17.0423, 0.01110, 620.0 * (t_pf / 296.0) ** 1.6),
+    ])]
+    t0 = time.time()
+    write_tli(path, TliData(version=6, iwav=float(wl.min()),
+                            fwav=float(wl.max()), databases=dbs, wl=wl,
+                            isoid=isoid, elow=elow, gf=gf,
+                            isotran=isotran))
+    print(f"wrote {os.path.getsize(path)/1e9:.2f} GB in "
+          f"{time.time()-t0:.1f}s", flush=True)
+    return path
+
+
+def main():
+    nlines = 100_000_000
+    hosts = 8
+    if "--nlines" in sys.argv:
+        nlines = int(sys.argv[sys.argv.index("--nlines") + 1])
+    if "--hosts" in sys.argv:
+        hosts = int(sys.argv[sys.argv.index("--hosts") + 1])
+    path = make(nlines)
+
+    from transit_tpu.io.tli import read_tli_band
+
+    # Wavenumber bands per host (equal spans; production would use
+    # line-count-balanced splits from the same memmap searchsorted):
+    edges = np.linspace(WN_LO, WN_HI, hosts + 1)
+    total = 0
+    t_all = time.time()
+    sizes = []
+    for h in range(hosts):
+        wn_lo, wn_hi = edges[h], edges[h + 1]
+        t0 = time.time()
+        band = read_tli_band(path, 1e4 / wn_hi, 1e4 / wn_lo)
+        dt = time.time() - t0
+        sizes.append(band.wl.shape[0])
+        total += band.wl.shape[0]
+        print(f"host {h}: band {wn_lo:7.1f}-{wn_hi:7.1f} cm-1  "
+              f"{band.wl.shape[0]:>11,} lines in {dt:5.2f}s "
+              f"({band.wl.shape[0]*26/dt/1e6:7.1f} MB/s)", flush=True)
+    print(f"all {hosts} bands: {total:,} lines "
+          f"(imbalance max/mean {max(sizes)/ (total/hosts):.2f}) in "
+          f"{time.time()-t_all:.1f}s", flush=True)
+
+    # Band-local plan build for one host (tile bucketing, host-side):
+    from transit_tpu.opacities import fast
+    h = hosts // 2
+    band = read_tli_band(path, 1e4 / edges[h + 1], 1e4 / edges[h])
+    wavn = 1.0 / (band.wl * 1e-4)
+    dwn = 0.05
+    n_coarse = int((edges[h + 1] - edges[h]) / dwn)
+    t0 = time.time()
+    plan = fast.make_fast_plan(wavn, band.isoid, band.elow, band.gf,
+                               wn_i=float(edges[h]), dwn=dwn,
+                               n_coarse=n_coarse, max_width=0.05,
+                               nwidth=20.0, classes=True)
+    print(f"band plan: {plan.ntiles} tiles x lmax {plan.lmax} "
+          f"(tw {plan.tw}) built in {time.time()-t0:.1f}s", flush=True)
+
+    if "--compute" in sys.argv:
+        import jax
+        import jax.numpy as jnp
+        iso = type("I", (), {})()
+        iso.mass = np.array([16.0425, 17.0423])
+        iso.ratio = np.array([0.98842, 0.0111])
+        iso.imol = np.array([0, 0])
+        d = fast.fast_device_arrays(plan, iso, dtype=jnp.float32)
+        nl = 8
+        temps = jnp.linspace(1500.0, 1700.0, nl)
+        dens = jnp.full((1, nl), 1e-6)
+        Z = jnp.full((2, nl), 600.0)
+        molm = jnp.asarray([16.0425]); molr = jnp.asarray([2.0e-8])
+        f = jax.jit(lambda t, dd, z: fast.fast_extinction(
+            plan, d, t, dd, z, molm, molr, wn_i=float(edges[h]), dwn=dwn,
+            ethresh=1e-8, nwidth=20.0))
+        out = f(temps, dens, Z); out.block_until_ready()
+        t0 = time.time()
+        out = f(temps + 1.0, dens, Z); out.block_until_ready()
+        dt = time.time() - t0
+        print(f"band extinction ({nl} layers x {n_coarse} bins x "
+              f"{band.wl.shape[0]:,} lines): {dt:.2f}s", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -51,7 +51,18 @@ def _band_lines(rng, centers, n):
     return np.clip(wn, WN_LO - 20.0, WN_HI + 20.0)
 
 
-def make(data_dir=DATA, nlines=200_000, wndelt=WN_DELT):
+DATA_WIDE = os.path.join(HERE, "data", "hj_wide")
+
+
+def make_wide():
+    """BASELINE scale target: ~10^6 output wavenumbers (dnu = 0.01 over
+    1-20 um) x 100 layers, 10^6 lines.  The C reference needs a reduced
+    oversampling (2160x would be a 16 GB fine grid)."""
+    return make(data_dir=DATA_WIDE, nlines=1_000_000, wndelt=0.01,
+                wnosamp=216)
+
+
+def make(data_dir=DATA, nlines=200_000, wndelt=WN_DELT, wnosamp=2160):
     os.makedirs(data_dir, exist_ok=True)
     import sys
     sys.path.insert(0, os.path.dirname(HERE))
@@ -132,7 +143,7 @@ molfile {data_dir}/molecules.dat
 wnlow   {WN_LO:.0f}
 wnhigh  {WN_HI:.0f}
 wndelt  {wndelt}
-wnosamp 2160
+wnosamp {wnosamp}
 wnfct   1.0
 nwidth  20
 ethresh 1e-8

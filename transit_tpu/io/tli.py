@@ -256,12 +256,14 @@ def write_tli(path: str, data: TliData) -> None:
     out += struct.pack("<Q", n)
     out += struct.pack("<i", len(data.isotran))
     out += np.asarray(data.isotran, dtype="<u8").tobytes()
-    out += np.asarray(data.wl, dtype="<f8").tobytes()
-    out += np.asarray(data.isoid, dtype="<i2").tobytes()
-    out += np.asarray(data.elow, dtype="<f8").tobytes()
-    out += np.asarray(data.gf, dtype="<f8").tobytes()
+    # The four SoA line blocks are streamed with tofile (an ExoMol-scale
+    # list is GBs; don't double it through a bytearray):
     with open(path, "wb") as f:
         f.write(bytes(out))
+        np.asarray(data.wl, dtype="<f8").tofile(f)
+        np.asarray(data.isoid, dtype="<i2").tofile(f)
+        np.asarray(data.elow, dtype="<f8").tofile(f)
+        np.asarray(data.gf, dtype="<f8").tofile(f)
 
 
 def sort_lines(wl, isoid, elow, gf):
