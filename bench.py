@@ -227,6 +227,48 @@ def wide_bench():
 WIDE_C_SECONDS = 130.8
 
 
+def opacity_bench():
+    """Opacity-grid generation (the reference's 'hours' mode): build the
+    full (layer x temperature x molecule x wavenumber) grid with the
+    conformance-exact kernel; wall time includes compile (the C number
+    includes its setup too)."""
+    import jax
+    import jax.numpy as jnp
+    from benchmarks.make_workload import (make, DATA, WN_LO, WN_HI,
+                                          WN_DELT, WNOSAMP)
+    from transit_tpu.config import TransitConfig
+    from transit_tpu.model import TransitModel
+    from transit_tpu.opacities.grid import build_opacity_grid
+
+    if not os.path.exists(os.path.join(DATA, "bench.tli")):
+        make()
+    cfg = TransitConfig(
+        atm=f"{DATA}/bench.atm", linedb=f"{DATA}/bench.tli",
+        csfile=f"{DATA}/bench_cia.dat", molfile=f"{DATA}/molecules.dat",
+        wnlow=WN_LO, wnhigh=WN_HI, wndelt=WN_DELT, wnosamp=WNOSAMP,
+        wnfct=1.0, nwidth=20.0, ethreshold=1e-8,
+        solution="eclipse", toomuch=1e30,
+        tlow=500.0, thigh=2900.0, tempdelt=100.0)
+    model = TransitModel(cfg, mode="exact", dtype=jnp.float32)
+    t0 = time.perf_counter()
+    grid = build_opacity_grid(model)
+    dt = time.perf_counter() - t0
+    L, T, M, W = grid.grid.shape
+    value = L * T * W / dt
+    c_seconds = OPACITY_C_SECONDS
+    vs = (round(value / (L * T * W / c_seconds), 3) if c_seconds else 0.0)
+    print(json.dumps({
+        "metric": "opacity_grid_cells_per_s",
+        "value": round(value, 1),
+        "unit": f"layer*temp*wn cells/s (grid {L}x{T}x{M}x{W}, 20k lines, "
+                f"incl. compile)",
+        "vs_baseline": vs,
+    }))
+
+
+OPACITY_C_SECONDS = None   # measured separately
+
+
 if __name__ == "__main__":
     if "--retrieval" in sys.argv:
         retrieval_bench()
@@ -234,5 +276,7 @@ if __name__ == "__main__":
         hotjupiter_bench()
     elif "--wide" in sys.argv:
         wide_bench()
+    elif "--opacity" in sys.argv:
+        opacity_bench()
     else:
         main()

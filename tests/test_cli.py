@@ -95,7 +95,8 @@ def test_cli_flag_overrides(tmp_path):
     from transit_tpu.cli import config_from_args
     cfgpath = tmp_path / "c.cfg"
     cfgpath.write_text("toomuch 5\nsolution eclipse\nwnlow 2000\n")
-    cfg, mode = config_from_args(["-c", str(cfgpath), "--toomuch", "9",
+    cfg, mode, bands = config_from_args(
+        ["-c", str(cfgpath), "--toomuch", "9",
                                   "--solution", "transit"])
     assert cfg.toomuch == 9.0
     assert cfg.solution == "transit"

@@ -31,3 +31,18 @@ def test_graft_entry_runs():
     out = jax.jit(fn)(*args)
     assert np.all(np.isfinite(np.asarray(out)))
     ge.dryrun_multichip(8)
+
+
+@pytest.mark.parametrize("solution", ["eclipse", "transit"])
+def test_sharded_banded_matches_single(solution):
+    """Banded model through the sharded path: per-band power-of-two tile
+    widths align on the per-device block, results match single-device."""
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(1, 4), ("batch", "wn"))
+    model = TransitModel(make_config(solution, 1e30), mode="fast", bands=6)
+    assert model.bplan is not None
+    step = make_sharded_forward(model, mesh)
+    temps = jnp.asarray(model.atm.temp, dtype=model.dtype)
+    q = jnp.asarray(model.atm.q, dtype=model.dtype)
+    sharded = np.asarray(step(temps, q))
+    single = np.asarray(jax.jit(model.forward)(temps, q))
+    np.testing.assert_allclose(sharded, single, rtol=1e-10, atol=0)

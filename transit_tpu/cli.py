@@ -24,6 +24,9 @@ def build_parser():
         description="TPU-native transmission/emission spectrum calculator")
     p.add_argument("-c", "--config_file", action="append", default=[],
                    help="Read options from file (reference .cfg syntax).")
+    p.add_argument("--bands", type=int, default=0,
+                   help="layer-band count for the fast path (0 = single "
+                        "global-halo plan); see opacities/fast.py")
     p.add_argument("--mode", default="exact", choices=["exact", "fast"],
                    help="Extinction path: 'exact' (reference-faithful "
                         "profile table) or 'fast' (on-the-fly Voigt).")
@@ -53,7 +56,7 @@ def config_from_args(argv):
             setattr(cfg, f.name, v)
     if args.ethreshold is not None:
         cfg.ethreshold = args.ethreshold
-    return cfg, args.mode
+    return cfg, args.mode, args.bands
 
 
 def write_spectrum(path, wns, spec, solution):
@@ -179,16 +182,17 @@ def write_sample_info(path, model):
 
 
 def main(argv=None):
-    cfg, mode = config_from_args(sys.argv[1:] if argv is None else argv)
+    cfg, mode, bands = config_from_args(
+        sys.argv[1:] if argv is None else argv)
     from transit_tpu.model import TransitModel
 
     if cfg.justOpacity:
         from transit_tpu.opacities.grid import build_opacity_grid
-        model = TransitModel(cfg, mode=mode)
+        model = TransitModel(cfg, mode=mode, bands=bands)
         build_opacity_grid(model, cfg.opacityfile)
         return 0
 
-    model = TransitModel(cfg, mode=mode)
+    model = TransitModel(cfg, mode=mode, bands=bands)
     res = model.compute()
 
     write_spectrum(cfg.outspec, res.wns, np.asarray(res.spectrum),

@@ -419,7 +419,11 @@ def make_banded_plans(wavn, isoid, elow, gf, wn_i: float, dwn: float,
     for (a, b) in slices:
         sel = perm[a:b]
         halo_est = nwidth * float(w[sel].max()) / dwn
-        tw = int(min(512, max(8, -(-int(halo_est * tw_scale) // 8) * 8)))
+        # Snap to a power of two so every band's tiles align on a common
+        # block size (the sharded path splits the wavenumber axis at
+        # max-tw boundaries):
+        tw = int(min(512, max(8, 2 ** int(np.ceil(np.log2(
+            max(halo_est * tw_scale, 1.0)))))))
         plans.append(make_fast_plan(
             wavn, isoid, elow, gf, wn_i=wn_i, dwn=dwn, n_coarse=n_coarse,
             max_width=float(w[sel].max()), nwidth=nwidth, tw=tw,

@@ -55,16 +55,53 @@ def _pad_tiles(model, ndev):
 def make_sharded_forward(model, mesh: Mesh):
     """Jitted sharded spectrum step: (temps_raw, q) -> spectrum.
 
-    ``model`` must be a TransitModel in mode="fast".  The mesh needs a
-    "wn" axis; radii are static (file atmosphere geometry).
+    ``model`` must be a TransitModel in mode="fast" — banded (bands>0) or
+    not.  The mesh needs a "wn" axis; radii are static (file atmosphere
+    geometry).  Every device owns a contiguous block of ``span`` coarse
+    bins; with banded plans each band's (power-of-two) tile width divides
+    the block size, so all bands' local outputs cover the same bins.
     """
-    assert model.mode == "fast" and model.fplan is not None
+    assert model.mode == "fast"
     ndev = mesh.shape["wn"]
-    d, ntiles_p = _pad_tiles(model, ndev)
-    plan = model.fplan
-    tw = plan.tw
     nl = model.atm.nlayers
     dtype = model.dtype
+    cfg = model.cfg
+    wn_i = float(model.wns.i)
+    dwn = float(model.wns.d)
+    n_coarse = model.wns.n
+
+    banded = getattr(model, "bplan", None) is not None
+    if banded:
+        bplan = model.bplan
+        B = max(p.tw for p in bplan.plans)
+        span = (-(-n_coarse // (ndev * B))) * B          # bins per device
+        tile_args = {}
+        band_meta = []                                   # (plan, ntl, keys)
+        for i, p in enumerate(bplan.plans):
+            assert B % p.tw == 0, "band tile widths must divide the block"
+            ntl = span // p.tw
+            ntp = ndev * ntl
+            t = fast._tile_tensors(p, np.arange(p.ntiles), p.lmax, dtype)
+            pad = ntp - p.ntiles
+            if pad:
+                t = {k: jnp.concatenate(
+                    [v, jnp.zeros((pad,) + v.shape[1:], v.dtype)], axis=0)
+                    for k, v in t.items()}
+            keys = {k: f"b{i}_{k}" for k in t}
+            tile_args.update({keys[k]: v for k, v in t.items()})
+            band_meta.append((p, ntl, keys))
+        shared = {k: v for k, v in model.bdev[0].items()
+                  if k not in ("classes", "wavn", "elow", "gf", "iso",
+                               "mask")}
+        perm = np.asarray(bplan.perm)
+        inv_perm = jnp.asarray(bplan.inv_perm)
+    else:
+        assert model.fplan is not None
+        d, ntiles_p = _pad_tiles(model, ndev)
+        plan = model.fplan
+        span = (ntiles_p // ndev) * plan.tw
+        tile_args = {k: d[k] for k in ("wavn", "elow", "gf", "iso", "mask")}
+        shared = {k: d[k] for k in d if k not in tile_args}
 
     mol_mass = jnp.asarray(model.mol.mass, dtype=dtype)
     mol_radius = jnp.asarray(model.mol.radius, dtype=dtype)
@@ -75,21 +112,14 @@ def make_sharded_forward(model, mesh: Mesh):
     Wmod = (jnp.asarray(model.Wmod, dtype=dtype)
             if model.Wmod is not None else None)
     ips = jnp.asarray(model.ips_v, dtype=dtype)
-    wn_i = float(model.wns.i)
-    dwn = float(model.wns.d)
-    n_coarse = model.wns.n
-    cfg = model.cfg
     iH2 = (model.atm.species.index("H2")
            if "H2" in model.atm.species else -1)
-
-    tile_args = {k: d[k] for k in ("wavn", "elow", "gf", "iso", "mask")}
-    shared = {k: d[k] for k in d if k not in tile_args}
+    kw = dict(wn_i=wn_i, dwn=dwn, ethresh=cfg.ethreshold,
+              nwidth=cfg.nwidth)
 
     def local_step(tiles, temps_raw, q):
-        """Runs on one device: tiles holds this device's tile block."""
+        """Runs on one device: tiles holds this device's tile block(s)."""
         widx = jax.lax.axis_index("wn")
-        ntl = ntiles_p // ndev            # local tiles
-        tile0 = widx * ntl
         temps_cgs = temps_raw * model.atm.tfct
         Z = model.partition_jnp(temps_raw)
         molm = mol_mass
@@ -102,14 +132,25 @@ def make_sharded_forward(model, mesh: Mesh):
         densities = rho * (mm[None, :] if model.atm.by_mass
                            else molm[:, None])
 
-        ldev = dict(shared, **tiles)
-        ex = fast.fast_extinction_tiles(
-            plan, ldev, temps_cgs, densities, Z, molm, mol_radius,
-            wn_i=wn_i, dwn=dwn, ethresh=cfg.ethreshold, nwidth=cfg.nwidth,
-            tile0=tile0, ntiles=ntl)                    # (nl, ntl*tw)
+        if banded:
+            rows = []
+            for (p, ntl, keys), (a, b) in zip(band_meta, bplan.slices):
+                sel = jnp.asarray(perm[a:b])
+                ldev = dict(shared,
+                            **{k: tiles[keys[k]] for k in keys})
+                rows.append(fast.fast_extinction_tiles(
+                    p, ldev, temps_cgs[sel], densities[:, sel], Z[:, sel],
+                    molm, mol_radius, tile0=widx * ntl, ntiles=ntl, **kw))
+            ex = jnp.concatenate(rows, axis=0)[inv_perm]    # (nl, span)
+        else:
+            ldev = dict(shared, **tiles)
+            ntl = span // plan.tw
+            ex = fast.fast_extinction_tiles(
+                plan, ldev, temps_cgs, densities, Z, molm, mol_radius,
+                tile0=widx * ntl, ntiles=ntl, **kw)         # (nl, span)
 
-        wn_local = (wn_i + dwn * (tile0 * tw +
-                                  jnp.arange(ntl * tw, dtype=dtype)))
+        wn_local = (wn_i + dwn * (widx * span +
+                                  jnp.arange(span, dtype=dtype)))
         wns_cgs = wn_local * model.wns.fct
 
         e_s = scattering_extinction(
