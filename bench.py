@@ -266,7 +266,11 @@ def opacity_bench():
     }))
 
 
-OPACITY_C_SECONDS = None   # measured separately
+# Reference C transit --justOpacity on the identical bench files
+# (100 layers x 25 temps x 2001 wn grid), single core, -O3, measured
+# 2026-08-18 on this machine (includes its setup, as ours includes
+# compile):
+OPACITY_C_SECONDS = 6.75
 
 
 if __name__ == "__main__":
