@@ -121,6 +121,61 @@ def retrieval_bench(batch=64):
     }))
 
 
+def transit_bench():
+    """BASELINE workload 2: CH4 transmission + H2-H2/H2-He CIA (transit
+    geometry, active toomuch=20 — exercises the modulation1 opaque-radius
+    endpoint semantics).  Same line list/atmosphere as the standard
+    workload; reference C baseline measured on the identical files."""
+    import jax
+    import jax.numpy as jnp
+    from benchmarks.make_workload import (make, DATA, WN_LO, WN_HI,
+                                          WN_DELT, WNOSAMP)
+    from transit_tpu.config import TransitConfig
+    from transit_tpu.model import TransitModel
+
+    if not os.path.exists(os.path.join(DATA, "bench_cia_H2He.dat")):
+        make()
+    cfg = TransitConfig(
+        atm=f"{DATA}/bench.atm", linedb=f"{DATA}/bench.tli",
+        csfile=f"{DATA}/bench_cia.dat,{DATA}/bench_cia_H2He.dat",
+        molfile=f"{DATA}/molecules.dat",
+        wnlow=WN_LO, wnhigh=WN_HI, wndelt=WN_DELT, wnosamp=WNOSAMP,
+        wnfct=1.0, nwidth=20.0, ethreshold=1e-8,
+        solution="transit", toomuch=20.0)
+    model = TransitModel(cfg, dtype=jnp.float32, mode="fast", bands=6)
+    temps = jnp.asarray(model.atm.temp, dtype=model.dtype)
+    q = jnp.asarray(model.atm.q, dtype=model.dtype)
+    step = jax.jit(model.forward)
+    out = step(temps, q)
+    out.block_until_ready()
+    runs = 10
+    temps_runs = [temps + np.float32(0.01 * i) for i in range(runs)]
+    for t in temps_runs:
+        t.block_until_ready()
+    t0 = time.perf_counter()
+    for i in range(runs):
+        out = step(temps_runs[i], q)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / runs
+    nwn, nl = model.wns.n, model.atm.nlayers
+    value = nwn * nl / dt
+    c_seconds = TRANSIT_C_SECONDS
+    vs = (round(value / (nwn * nl / c_seconds), 3) if c_seconds else 0.0)
+    print(json.dumps({
+        "metric": "transmission_wn_points_x_layers_per_s",
+        "value": round(value, 1),
+        "unit": f"points*layers/s (transit geometry, {nwn}wn x "
+                f"{nl}layers, 20k lines, 2 CIA, f32)",
+        "vs_baseline": vs,
+    }))
+
+
+# Reference C transit (solution transit, toomuch 20, both CIA files) on
+# the identical files, single core, -O3, median of 5 (measured
+# 2026-08-18 on this machine):
+TRANSIT_C_SECONDS = 0.95
+
+
 def hotjupiter_bench():
     """BASELINE workload 3: H2O+CO+CO2+CH4 hot Jupiter, 1-20 um
     (500-10000 cm-1, dnu=0.5 -> 19001 wn), 100 layers, 200k lines,
@@ -274,7 +329,9 @@ OPACITY_C_SECONDS = 6.75
 
 
 if __name__ == "__main__":
-    if "--retrieval" in sys.argv:
+    if "--transit" in sys.argv:
+        transit_bench()
+    elif "--retrieval" in sys.argv:
         retrieval_bench()
     elif "--hotjupiter" in sys.argv:
         hotjupiter_bench()

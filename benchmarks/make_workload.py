@@ -61,6 +61,16 @@ def make(data_dir=DATA):
             f.write(f" {w:9.2f}  " +
                     " ".join(f"{v:.6e}" for v in vals) + "\n")
 
+    # H2-He CIA (for the transmission workload: CH4 + H2-H2/H2-He CIA):
+    with open(os.path.join(data_dir, "bench_cia_H2He.dat"), "w") as f:
+        f.write("# bench CIA H2-He\ni H2 He\nt " +
+                " ".join(f"{t:.0f}" for t in temps) + "\n\n")
+        for w in wn:
+            vals = 2e-8 * np.sqrt(temps / 1000.0) * \
+                (np.exp(-((w - 2100.0) / 600.0) ** 2) + 0.05)
+            f.write(f" {w:9.2f}  " +
+                    " ".join(f"{v:.6e}" for v in vals) + "\n")
+
     # line list:
     t_pf = np.arange(70.0, 3020.0, 50.0)
     z = 120.0 * (t_pf / 296.0) ** 1.5

@@ -69,10 +69,17 @@ def read_opacity_grid(path: str) -> OpacityGrid:
 
 
 def build_opacity_grid(model, path: str = None,
-                       layer_batch: int = 1) -> OpacityGrid:
+                       cell_batch: int = None) -> OpacityGrid:
     """calcopacity (opacity.c:281-427): per-molecule extinction on the
     (layer x temperature x molecule x wavenumber) grid via the exact
-    line-by-line kernel (permol=1)."""
+    line-by-line kernel (permol=1).
+
+    Unlike the reference's L x T scalar loop, grid cells are computed as
+    vmapped batches of ``cell_batch`` kernel instances per device
+    dispatch — one compile, (L*T)/cell_batch dispatches (a 2500-cell
+    host loop spends more time in dispatch latency than in compute).
+    The default batch is sized from the kernel's dominant intermediate,
+    ~n_lines x profile_width per instance, against a ~3 GB HBM budget."""
     from transit_tpu.opacities import lbl
 
     cfg = model.cfg
@@ -105,19 +112,45 @@ def build_opacity_grid(model, path: str = None,
     q = atm.q                      # (nmolecules, nl)
     mm = atm.mm
 
-    fn = jax.jit(lambda tt, dd, zz: lbl.layer_extinction(
+    fn = jax.jit(jax.vmap(lambda tt, dd, zz: lbl.layer_extinction(
         model.plan, model.iso, model.table, model.dev, tt, dd, zz,
-        mol_mass, mol_radius, wn0, ethresh=cfg.ethreshold, permol=True))
+        mol_mass, mol_radius, wn0, ethresh=cfg.ethreshold, permol=True)))
 
-    grid = np.zeros((nl, ntemp, nmol_out, nwave))
-    for r in range(nl):
-        for t in range(ntemp):
-            dens = AMU * q[:, r] * press_cgs[r] / KB / temps[t]
-            dens = dens * (mm[r] if atm.by_mass else model.mol.mass)
-            grid[r, t] = np.asarray(fn(
-                jnp.asarray(temps[t], model.dtype),
-                jnp.asarray(dens, model.dtype),
-                jnp.asarray(Zg[:, t], model.dtype)))
+    def dens_at(r):
+        """(ntemp, nmolecules) densities at layer r over the T grid
+        (stateeqnford with the layer's q/mm, opacity.c:392-394)."""
+        dens = (AMU * q[:, r][None, :] * press_cgs[r] / KB /
+                temps[:, None])
+        return dens * (mm[r] if atm.by_mass else
+                       np.asarray(model.mol.mass)[None, :])
+
+    ncells = nl * ntemp
+    if cell_batch is None:
+        # Dominant intermediate per instance: (n_lines-ish, profile
+        # width) index/value tensors, ~4 of them live at once:
+        width = 2 * int(np.max(model.table.profsize)) + 1
+        per_cell = max(int(model.plan.n_groups) * width * 16, 1)
+        cell_batch = int(np.clip(3e9 // per_cell, 1, ncells))
+
+    # All (layer, temp) cells flattened, padded to a whole number of
+    # fixed-shape batches (one compile):
+    tt_all = np.tile(temps.astype(np.float64), nl)
+    dd_all = np.concatenate([dens_at(r) for r in range(nl)])
+    zz_all = np.tile(Zg.T, (nl, 1))
+    npad = -(-ncells // cell_batch) * cell_batch - ncells
+    if npad:
+        tt_all = np.concatenate([tt_all, tt_all[-npad:]])
+        dd_all = np.concatenate([dd_all, dd_all[-npad:]])
+        zz_all = np.concatenate([zz_all, zz_all[-npad:]])
+
+    rows = np.zeros((ncells + npad, nmol_out, nwave))
+    for c0 in range(0, ncells + npad, cell_batch):
+        sl = slice(c0, c0 + cell_batch)
+        rows[sl] = np.asarray(fn(
+            jnp.asarray(tt_all[sl], model.dtype),
+            jnp.asarray(dd_all[sl], model.dtype),
+            jnp.asarray(zz_all[sl], model.dtype)))
+    grid = rows[:ncells].reshape(nl, ntemp, nmol_out, nwave)
 
     og = OpacityGrid(molID=molID, temp=temps, press=press_cgs,
                      wns=model.wns.v.copy(), grid=grid)
