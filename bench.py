@@ -332,7 +332,11 @@ if __name__ == "__main__":
     if "--transit" in sys.argv:
         transit_bench()
     elif "--retrieval" in sys.argv:
-        retrieval_bench()
+        i = sys.argv.index("--retrieval")
+        batch = (int(sys.argv[i + 1])
+                 if len(sys.argv) > i + 1 and sys.argv[i + 1].isdigit()
+                 else 64)
+        retrieval_bench(batch=batch)
     elif "--hotjupiter" in sys.argv:
         hotjupiter_bench()
     elif "--wide" in sys.argv:
