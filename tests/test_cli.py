@@ -44,7 +44,11 @@ def cli_run(tmp_path_factory):
         f"outtoomuch {outdir}/toomuch.dat\n"
         f"outintens {outdir}/intens.dat\n"
         f"outsample {outdir}/sample.dat\n")
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    # Subprocess runs with cwd=outdir; make the repo importable even when
+    # transit_tpu isn't pip-installed in the environment:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pypath = repo + os.pathsep + os.environ.get("PYTHONPATH", "")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=pypath)
     r = subprocess.run(
         [sys.executable, "-c",
          "import jax; jax.config.update('jax_platforms','cpu'); "
