@@ -55,13 +55,18 @@ def _pad_tiles(model, ndev):
 def make_sharded_forward(model, mesh: Mesh):
     """Jitted sharded spectrum step: (temps_raw, q) -> spectrum.
 
-    ``model`` must be a TransitModel in mode="fast" — banded (bands>0) or
-    not.  The mesh needs a "wn" axis; radii are static (file atmosphere
-    geometry).  Every device owns a contiguous block of ``span`` coarse
-    bins; with banded plans each band's (power-of-two) tile width divides
-    the block size, so all bands' local outputs cover the same bins.
+    ``model`` must be a TransitModel in mode="fast" (banded or not) or one
+    with a loaded opacity grid (cfg.opacityfile — the reference's
+    production interpolation mode, extinction.c:534-581; here the 4-D
+    [L,T,M,W] grid is sharded over its wavenumber axis so each device
+    holds only its band).  The mesh needs a "wn" axis; radii are static
+    (file atmosphere geometry).  Every device owns a contiguous block of
+    ``span`` coarse bins; with banded plans each band's (power-of-two)
+    tile width divides the block size, so all bands' local outputs cover
+    the same bins.
     """
-    assert model.mode == "fast"
+    grid_mode = model.ogrid is not None
+    assert grid_mode or model.mode == "fast"
     ndev = mesh.shape["wn"]
     nl = model.atm.nlayers
     dtype = model.dtype
@@ -70,8 +75,20 @@ def make_sharded_forward(model, mesh: Mesh):
     dwn = float(model.wns.d)
     n_coarse = model.wns.n
 
-    banded = getattr(model, "bplan", None) is not None
-    if banded:
+    banded = (not grid_mode and
+              getattr(model, "bplan", None) is not None)
+    if grid_mode:
+        # Opacity grid [L, T, M, W] sharded over W; pad W to ndev blocks:
+        span = -(-n_coarse // ndev)
+        og = model._ogrid_dev
+        pad = ndev * span - og.shape[-1]
+        if pad:
+            og = jnp.concatenate(
+                [og, jnp.zeros(og.shape[:-1] + (pad,), og.dtype)], axis=-1)
+        tile_args = {"og": og}
+        og_temp = jnp.asarray(model.ogrid.temp, dtype=dtype)
+        og_mol = jnp.asarray(model.grid_mol_idx)
+    elif banded:
         bplan = model.bplan
         B = max(p.tw for p in bplan.plans)
         span = (-(-n_coarse // (ndev * B))) * B          # bins per device
@@ -132,7 +149,11 @@ def make_sharded_forward(model, mesh: Mesh):
         densities = rho * (mm[None, :] if model.atm.by_mass
                            else molm[:, None])
 
-        if banded:
+        if grid_mode:
+            from transit_tpu.opacities.grid import grid_extinction
+            ex = grid_extinction(og_temp, tiles["og"], og_mol,
+                                 temps_cgs, densities)       # (nl, span)
+        elif banded:
             rows = []
             for (p, ntl, keys), (a, b) in zip(band_meta, bplan.slices):
                 sel = jnp.asarray(perm[a:b])
@@ -181,7 +202,8 @@ def make_sharded_forward(model, mesh: Mesh):
         return modulation(tau, last, ips, model.rfct, srad, cfg.toomuch,
                           transparent=cfg.transparent, Wmod=Wmod)
 
-    tile_specs = {k: P("wn") for k in tile_args}
+    tile_specs = ({"og": P(None, None, None, "wn")} if grid_mode
+                  else {k: P("wn") for k in tile_args})
 
     fn = shard_map(local_step, mesh=mesh,
                    in_specs=(tile_specs, P(), P()),
