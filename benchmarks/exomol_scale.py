@@ -55,9 +55,11 @@ def make(nlines=100_000_000, data_dir=DATA):
     gf = 10.0 ** rng.uniform(-10.0, -2.0, n)
     print(f"generated {n} lines in {time.time()-t0:.1f}s", flush=True)
 
-    # sort by (isotope, wavelength) — the TLI contract:
+    # sort by (isotope, wavelength) — the TLI contract (native radix
+    # argsort; falls back to np.lexsort without the extension):
     t0 = time.time()
-    order = np.lexsort((wl, isoid))
+    from transit_tpu.lineread.compile import sort_iso_wl
+    order = sort_iso_wl(isoid, wl)
     wl = wl[order]; isoid = isoid[order]
     elow = elow[order]; gf = gf[order]
     isotran = np.bincount(isoid, minlength=2).astype(np.uint64)

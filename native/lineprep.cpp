@@ -18,6 +18,7 @@
 #define PY_SSIZE_T_CLEAN
 #include <Python.h>
 
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
 #include <cstdlib>
@@ -120,6 +121,134 @@ PyObject* group_partition(PyObject*, PyObject* args) {
   return Py_BuildValue("(NNNNN)", gid_b, prim_b, inr_b, iown_b, idwn_b);
 }
 
+// argsort_iso_wl(isoid i32[n], wl f64[n]) -> i64[n] permutation bytes
+//
+// Stable argsort by (isoid, wl) — the TLI sort contract
+// (pylineread.py:364-383: lines grouped by isotope, each isotope's lines
+// ascending in wavelength).  LSD radix sort on the order-preserving u64
+// transform of the f64 key (handles negatives/zero), carrying the index
+// payload, with trivial digit passes skipped (wavelengths share exponent
+// bytes, so typically only 2-3 of the 4 passes run); then one stable
+// counting-sort pass on isoid.  O(n) vs np.lexsort's comparison sort —
+// the 1e8..1e9-line ExoMol ingestion sort is the use case.
+PyObject* argsort_iso_wl(PyObject*, PyObject* args) {
+  PyObject *isoid_o, *wl_o;
+  if (!PyArg_ParseTuple(args, "OO", &isoid_o, &wl_o)) return nullptr;
+
+  Buf isoid_b, wl_b;
+  if (!isoid_b.acquire(isoid_o, "isoid") || !wl_b.acquire(wl_o, "wl"))
+    return nullptr;
+  const int32_t* isoid = static_cast<const int32_t*>(isoid_b.view.buf);
+  const double* wl = static_cast<const double*>(wl_b.view.buf);
+  const Py_ssize_t n = wl_b.view.len / (Py_ssize_t)sizeof(double);
+  if (isoid_b.view.len / (Py_ssize_t)sizeof(int32_t) != n) {
+    PyErr_SetString(PyExc_ValueError, "isoid/wl length mismatch");
+    return nullptr;
+  }
+
+  std::vector<uint64_t> key_a(n), key_b(n);
+  std::vector<int64_t> idx_a(n), idx_b(n);
+  // Order-preserving bijection f64 -> u64 (flip all bits for negatives,
+  // just the sign bit for positives); +0.0 normalizes -0.0 so signed
+  // zeros compare equal (stability then keeps original order, matching
+  // np.lexsort):
+  for (Py_ssize_t i = 0; i < n; ++i) {
+    const double v = wl[i] + 0.0;
+    uint64_t k;
+    std::memcpy(&k, &v, sizeof(k));
+    k ^= (k >> 63) ? ~UINT64_C(0) : (UINT64_C(1) << 63);
+    key_a[i] = k;
+    idx_a[i] = i;
+  }
+
+  // MSD hybrid: one scatter pass partitions by the top bits into buckets
+  // sized to stay cache-resident, then each bucket is sorted in cache.
+  // An LSD radix (7-8 passes over the full array) is memory-bandwidth
+  // bound at 1e8+ lines on this host; this does ~3 full-array passes.
+  // Bucket count targets ~4K elements/bucket (64KB of pairs), clamped to
+  // [2^8, 2^20]; the digit is taken below the keys' common high-bit
+  // prefix so narrow wavelength ranges still spread across buckets.
+  uint64_t* ka = key_a.data();
+  uint64_t* kb = key_b.data();
+  int64_t* ia = idx_a.data();
+  int64_t* ib = idx_b.data();
+  if (n > 1) {
+    uint64_t kmin = ka[0], kmax = ka[0];
+    for (Py_ssize_t i = 1; i < n; ++i) {
+      if (ka[i] < kmin) kmin = ka[i];
+      if (ka[i] > kmax) kmax = ka[i];
+    }
+    int bits = 10;
+    {
+      double want = (double)n / 4096.0;
+      while ((1 << bits) < want && bits < 20) ++bits;
+      if (bits > 20) bits = 20;
+    }
+    const uint64_t range = kmax - kmin;
+    // Highest varying bit:
+    int top = 0;
+    for (int b = 63; b >= 0; --b)
+      if ((range >> b) & 1) { top = b + 1; break; }
+    const int shift = top > bits ? top - bits : 0;
+    const size_t nbuck = ((range >> shift) + 1);
+    std::vector<int64_t> off(nbuck + 1, 0);
+    for (Py_ssize_t i = 0; i < n; ++i)
+      ++off[(size_t)((ka[i] - kmin) >> shift) + 1];
+    for (size_t d = 1; d <= nbuck; ++d) off[d] += off[d - 1];
+    std::vector<int64_t> cur(off.begin(), off.end() - 1);
+    for (Py_ssize_t i = 0; i < n; ++i) {
+      const int64_t dst = cur[(size_t)((ka[i] - kmin) >> shift)]++;
+      kb[dst] = ka[i];
+      ib[dst] = ia[i];
+    }
+    std::swap(ka, kb);
+    std::swap(ia, ib);
+    // Sort each bucket in cache; the index tiebreak makes it stable
+    // (the scatter above preserved original order within a bucket):
+    std::vector<std::pair<uint64_t, int64_t>> tmp;
+    for (size_t d = 0; d < nbuck; ++d) {
+      const int64_t lo = off[d], hi = off[d + 1];
+      if (hi - lo < 2) continue;
+      tmp.resize((size_t)(hi - lo));
+      for (int64_t i = lo; i < hi; ++i)
+        tmp[(size_t)(i - lo)] = {ka[i], ia[i]};
+      std::sort(tmp.begin(), tmp.end());
+      for (int64_t i = lo; i < hi; ++i) {
+        ka[i] = tmp[(size_t)(i - lo)].first;
+        ia[i] = tmp[(size_t)(i - lo)].second;
+      }
+    }
+  }
+
+  // Stable counting sort by isoid (read through the permutation):
+  int32_t iso_min = 0, iso_max = 0;
+  if (n > 0) {
+    iso_min = iso_max = isoid[0];
+    for (Py_ssize_t i = 1; i < n; ++i) {
+      if (isoid[i] < iso_min) iso_min = isoid[i];
+      if (isoid[i] > iso_max) iso_max = isoid[i];
+    }
+  }
+  const size_t niso = (size_t)(iso_max - iso_min) + 1;
+  if (niso > (size_t)1 << 22) {
+    PyErr_SetString(PyExc_ValueError, "isoid range too large");
+    return nullptr;
+  }
+  if (niso > 1) {
+    std::vector<int64_t> off(niso + 1, 0);
+    for (Py_ssize_t i = 0; i < n; ++i) ++off[(size_t)(isoid[i] - iso_min) + 1];
+    for (size_t d = 1; d <= niso; ++d) off[d] += off[d - 1];
+    for (Py_ssize_t i = 0; i < n; ++i) {
+      const int64_t src = ia[i];
+      ib[off[(size_t)(isoid[src] - iso_min)]++] = src;
+    }
+    std::swap(ia, ib);
+  }
+
+  return PyBytes_FromStringAndSize(reinterpret_cast<const char*>(ia),
+                                   n * sizeof(int64_t));
+}
+
 // parse_fixed_floats(data bytes, recsize, offset, width, n) -> f64 bytes
 PyObject* parse_fixed_floats(PyObject*, PyObject* args) {
   Py_buffer data;
@@ -152,6 +281,8 @@ PyMethodDef methods[] = {
      "Co-add group partition of a sorted line list."},
     {"parse_fixed_floats", parse_fixed_floats, METH_VARARGS,
      "Parse a fixed-width ASCII float column from records."},
+    {"argsort_iso_wl", argsort_iso_wl, METH_VARARGS,
+     "Stable radix argsort by (isoid, wavelength)."},
     {nullptr, nullptr, 0, nullptr},
 };
 

@@ -83,3 +83,34 @@ def test_parse_fixed_floats():
 def test_parse_fixed_floats_bounds():
     with pytest.raises(ValueError):
         native.parse_fixed_floats(b"123", 11, 0, 5, 3)
+
+
+def test_argsort_iso_wl_matches_lexsort():
+    """Native radix argsort == np.lexsort((wl, isoid)) incl. stability
+    on duplicate wavelengths, signed zeros, and negatives."""
+    rng = np.random.default_rng(3)
+    n = 50_000
+    wl = rng.uniform(0.3, 30.0, n)
+    wl[::13] = 5.0                      # duplicates exercise stability
+    wl[::101] = 0.0
+    wl[1::101] = -0.0
+    wl[2::101] = -wl[2::101]
+    iso = rng.integers(0, 7, n).astype(np.int32)
+    got = np.frombuffer(native.argsort_iso_wl(iso, wl), dtype=np.int64)
+    np.testing.assert_array_equal(got, np.lexsort((wl, iso)))
+
+
+def test_argsort_iso_wl_empty_and_single():
+    for wl, iso in [(np.array([]), np.array([], dtype=np.int32)),
+                    (np.array([4.2]), np.array([3], dtype=np.int32))]:
+        got = np.frombuffer(native.argsort_iso_wl(iso, wl), dtype=np.int64)
+        np.testing.assert_array_equal(got, np.lexsort((wl, iso)))
+
+
+def test_sort_iso_wl_wrapper():
+    from transit_tpu.lineread.compile import sort_iso_wl
+    rng = np.random.default_rng(4)
+    wl = rng.uniform(1.0, 20.0, 1000)
+    iso = rng.integers(0, 3, 1000).astype(np.int16)   # int16, as TLI stores
+    np.testing.assert_array_equal(sort_iso_wl(iso, wl),
+                                  np.lexsort((wl, iso)))

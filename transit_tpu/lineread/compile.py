@@ -42,6 +42,21 @@ def _load_reader(dbtype, dbfile, pffile, defn):
     return cls(dbfile, pffile)
 
 
+def sort_iso_wl(isoid, wl):
+    """Stable argsort by (isotope, wavelength) — the TLI line order
+    (pylineread.py:364-383).  Native O(n) radix sort when the extension is
+    available (the 1e8..1e9-line ExoMol ingestion bottleneck — ~3x over
+    np.lexsort); numpy fallback otherwise."""
+    try:
+        from transit_tpu import _native
+    except ImportError:
+        return np.lexsort((wl, isoid))
+    iso32 = np.ascontiguousarray(isoid, dtype=np.int32)
+    wl64 = np.ascontiguousarray(wl, dtype=np.float64)
+    return np.frombuffer(_native.argsort_iso_wl(iso32, wl64),
+                         dtype=np.int64)
+
+
 def compile_tli(blocks, iwav: float, fwav: float, output: str):
     """Assemble LineBlocks into one TLI file (pylineread.py:187-425)."""
     # Unique databases (repeats skipped, pylineread.py:215-224):
@@ -68,14 +83,9 @@ def compile_tli(blocks, iwav: float, fwav: float, output: str):
         for b in blocks])
 
     # Sort by isotope then wavelength (pylineread.py:364-383):
-    isort = np.argsort(isoid, kind="stable")
+    isort = sort_iso_wl(isoid, wl)
     counts = np.bincount(isoid)
     counts = counts[counts > 0]
-    ihi = 0
-    for c in counts:
-        ilo, ihi = ihi, ihi + c
-        sub = np.argsort(wl[isort][ilo:ihi], kind="stable")
-        isort[ilo:ihi] = isort[ilo:ihi][sub]
 
     data = TliData(version=6, iwav=iwav, fwav=fwav, databases=dbs,
                    wl=wl[isort], isoid=isoid[isort].astype(np.int16),
