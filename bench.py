@@ -30,6 +30,36 @@ sys.path.insert(0, HERE)
 BASELINE_C_POINTS_PER_S = 2000 * 100 / 0.80
 
 
+def time_steps(forward, temps, q, runs):
+    """Steady-state seconds per full forward step.
+
+    The ``runs`` steps (each a complete spectrum with its own temperature
+    profile) run as one device program via lax.scan, so the measurement is
+    device throughput: this environment reaches the TPU through a tunnel
+    whose ~3.5 ms per-dispatch round-trip would otherwise dominate a
+    multi-ms step (production retrieval loops likewise keep the chain of
+    steps on device).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    tstack = jnp.stack([temps + np.float32(0.01 * i) for i in range(runs)])
+
+    @jax.jit
+    def scan_steps(ts, q):
+        def body(c, tt):
+            return c, forward(tt, q)
+        _, out = jax.lax.scan(body, 0, ts)
+        return out
+
+    out = scan_steps(tstack, q)             # compile + warmup
+    out.block_until_ready()
+    t0 = time.perf_counter()
+    out = scan_steps(tstack, q)
+    out.block_until_ready()
+    return (time.perf_counter() - t0) / runs
+
+
 def _model():
     from benchmarks.make_workload import (make, DATA, WN_LO, WN_HI,
                                           WN_DELT, WNOSAMP)
@@ -57,23 +87,7 @@ def main():
     temps = jnp.asarray(model.atm.temp, dtype=model.dtype)
     q = jnp.asarray(model.atm.q, dtype=model.dtype)
 
-    step = jax.jit(model.forward)
-    out = step(temps, q)
-    out.block_until_ready()          # compile + warmup
-
-    # Distinct device-resident inputs, built OUTSIDE the timed loop: on the
-    # tunneled remote TPU of this environment, a host-side `temps + eps`
-    # between steps costs ~100 ms of round-trip latency that is not step
-    # compute (local-chip dispatch is ~50 us and would hide entirely):
-    runs = 10
-    temps_runs = [temps + np.float32(0.01 * i) for i in range(runs)]
-    for t in temps_runs:
-        t.block_until_ready()
-    t0 = time.perf_counter()
-    for i in range(runs):
-        out = step(temps_runs[i], q)
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / runs
+    dt = time_steps(model.forward, temps, q, runs=20)
 
     nwn = model.wns.n
     nl = model.atm.nlayers
@@ -82,7 +96,7 @@ def main():
         "metric": "wn_points_x_layers_per_s",
         "value": round(value, 1),
         "unit": f"points*layers/s (full step, {nwn}wn x {nl}layers, "
-                f"20k lines, f32)",
+                f"20k lines, f32, 20-step scan)",
         "vs_baseline": round(value / BASELINE_C_POINTS_PER_S, 3),
     }))
 
@@ -99,18 +113,8 @@ def retrieval_bench(batch=64):
     q0 = jnp.asarray(model.atm.q, dtype=model.dtype)
     temps = jnp.stack([t0v + 0.5 * i for i in range(batch)])
     qs = jnp.stack([q0] * batch)
-    step = jax.jit(jax.vmap(model.forward))
-    out = step(temps, qs)
-    out.block_until_ready()
-    runs = 3
-    temps_runs = [temps + np.float32(0.01 * i) for i in range(runs)]
-    for t in temps_runs:
-        t.block_until_ready()
-    t0 = time.perf_counter()
-    for i in range(runs):
-        out = step(temps_runs[i], qs)
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / runs
+    batched = jax.vmap(model.forward)
+    dt = time_steps(batched, temps, qs, runs=3)
     value = batch / dt
     print(json.dumps({
         "metric": "retrieval_spectra_per_s",
@@ -145,18 +149,7 @@ def transit_bench():
     model = TransitModel(cfg, dtype=jnp.float32, mode="fast", bands=6)
     temps = jnp.asarray(model.atm.temp, dtype=model.dtype)
     q = jnp.asarray(model.atm.q, dtype=model.dtype)
-    step = jax.jit(model.forward)
-    out = step(temps, q)
-    out.block_until_ready()
-    runs = 10
-    temps_runs = [temps + np.float32(0.01 * i) for i in range(runs)]
-    for t in temps_runs:
-        t.block_until_ready()
-    t0 = time.perf_counter()
-    for i in range(runs):
-        out = step(temps_runs[i], q)
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / runs
+    dt = time_steps(model.forward, temps, q, runs=20)
     nwn, nl = model.wns.n, model.atm.nlayers
     value = nwn * nl / dt
     c_seconds = TRANSIT_C_SECONDS
@@ -198,18 +191,7 @@ def hotjupiter_bench():
     model = TransitModel(cfg, dtype=jnp.float32, mode="fast", bands=6)
     temps = jnp.asarray(model.atm.temp, dtype=model.dtype)
     q = jnp.asarray(model.atm.q, dtype=model.dtype)
-    step = jax.jit(model.forward)
-    out = step(temps, q)
-    out.block_until_ready()
-    runs = 5
-    temps_runs = [temps + np.float32(0.01 * i) for i in range(runs)]
-    for t in temps_runs:
-        t.block_until_ready()
-    t0 = time.perf_counter()
-    for i in range(runs):
-        out = step(temps_runs[i], q)
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / runs
+    dt = time_steps(model.forward, temps, q, runs=5)
     nwn, nl = model.wns.n, model.atm.nlayers
     value = nwn * nl / dt
     # Reference C on the same files (hj_ref.cfg): measured wall time,
@@ -252,18 +234,7 @@ def wide_bench():
     model = TransitModel(cfg, dtype=jnp.float32, mode="fast", bands=6)
     temps = jnp.asarray(model.atm.temp, dtype=model.dtype)
     q = jnp.asarray(model.atm.q, dtype=model.dtype)
-    step = jax.jit(model.forward)
-    out = step(temps, q)
-    out.block_until_ready()
-    runs = 2
-    temps_runs = [temps + np.float32(0.01 * i) for i in range(runs)]
-    for t in temps_runs:
-        t.block_until_ready()
-    t0 = time.perf_counter()
-    for i in range(runs):
-        out = step(temps_runs[i], q)
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / runs
+    dt = time_steps(model.forward, temps, q, runs=2)
     nwn, nl = model.wns.n, model.atm.nlayers
     value = nwn * nl / dt
     c_seconds = WIDE_C_SECONDS

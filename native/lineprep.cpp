@@ -1,12 +1,15 @@
 // Native line-list preprocessing for transit_tpu.
 //
-// Two hot host-side loops that are interpreter-bound in Python at
+// Three hot host-side loops that are interpreter-bound in Python at
 // ExoMol scale (1e6..1e9 lines):
 //
 //  * group_partition: the sequential co-add chain partition of the exact
 //    extinction path (mirrors the scalar loop structure of the reference's
 //    computemolext pass 2, transit/src/extinction.c:430-462).  One linear
 //    pass over the wavelength-sorted line list.
+//
+//  * argsort_iso_wl: stable O(n) argsort by (isotope, wavelength) — the
+//    TLI sort contract — replacing np.lexsort for ingestion-scale sorts.
 //
 //  * parse_fixed_floats: bulk fixed-width ASCII float column parsing for
 //    the HITRAN .par reader.
@@ -125,12 +128,14 @@ PyObject* group_partition(PyObject*, PyObject* args) {
 //
 // Stable argsort by (isoid, wl) — the TLI sort contract
 // (pylineread.py:364-383: lines grouped by isotope, each isotope's lines
-// ascending in wavelength).  LSD radix sort on the order-preserving u64
-// transform of the f64 key (handles negatives/zero), carrying the index
-// payload, with trivial digit passes skipped (wavelengths share exponent
-// bytes, so typically only 2-3 of the 4 passes run); then one stable
-// counting-sort pass on isoid.  O(n) vs np.lexsort's comparison sort —
-// the 1e8..1e9-line ExoMol ingestion sort is the use case.
+// ascending in wavelength).  Wavelengths are mapped through an
+// order-preserving f64 -> u64 transform (negatives/zero handled; NaN
+// canonicalized to the max key so NaNs sort last, matching np.lexsort),
+// then sorted by an MSD bucket-partition hybrid (one scatter pass by the
+// top varying bits, then an in-cache comparison sort per bucket — details
+// at the partition below); finally one stable counting-sort pass on
+// isoid.  ~O(n) vs np.lexsort's comparison sort — the 1e8..1e9-line
+// ExoMol ingestion sort is the use case.
 PyObject* argsort_iso_wl(PyObject*, PyObject* args) {
   PyObject *isoid_o, *wl_o;
   if (!PyArg_ParseTuple(args, "OO", &isoid_o, &wl_o)) return nullptr;
@@ -151,12 +156,17 @@ PyObject* argsort_iso_wl(PyObject*, PyObject* args) {
   // Order-preserving bijection f64 -> u64 (flip all bits for negatives,
   // just the sign bit for positives); +0.0 normalizes -0.0 so signed
   // zeros compare equal (stability then keeps original order, matching
-  // np.lexsort):
+  // np.lexsort).  NaNs (either sign) canonicalize to the max key so they
+  // sort last, as np.lexsort does:
   for (Py_ssize_t i = 0; i < n; ++i) {
     const double v = wl[i] + 0.0;
     uint64_t k;
-    std::memcpy(&k, &v, sizeof(k));
-    k ^= (k >> 63) ? ~UINT64_C(0) : (UINT64_C(1) << 63);
+    if (std::isnan(v)) {
+      k = ~UINT64_C(0);
+    } else {
+      std::memcpy(&k, &v, sizeof(k));
+      k ^= (k >> 63) ? ~UINT64_C(0) : (UINT64_C(1) << 63);
+    }
     key_a[i] = k;
     idx_a[i] = i;
   }
@@ -166,7 +176,7 @@ PyObject* argsort_iso_wl(PyObject*, PyObject* args) {
   // An LSD radix (7-8 passes over the full array) is memory-bandwidth
   // bound at 1e8+ lines on this host; this does ~3 full-array passes.
   // Bucket count targets ~4K elements/bucket (64KB of pairs), clamped to
-  // [2^8, 2^20]; the digit is taken below the keys' common high-bit
+  // [2^10, 2^20]; the digit is taken below the keys' common high-bit
   // prefix so narrow wavelength ranges still spread across buckets.
   uint64_t* ka = key_a.data();
   uint64_t* kb = key_b.data();
@@ -182,7 +192,6 @@ PyObject* argsort_iso_wl(PyObject*, PyObject* args) {
     {
       double want = (double)n / 4096.0;
       while ((1 << bits) < want && bits < 20) ++bits;
-      if (bits > 20) bits = 20;
     }
     const uint64_t range = kmax - kmin;
     // Highest varying bit:

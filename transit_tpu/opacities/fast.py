@@ -185,13 +185,15 @@ def _layer_widths(temp, density, iso_mass, iso_imol, mol_mass, mol_radius):
 
 def fast_extinction(plan: FastPlan, d, temps, densities,
                     Z, mol_mass, mol_radius, wn_i: float, dwn: float,
-                    ethresh: float, nwidth: float, line_chunk: int = 512):
+                    ethresh: float, nwidth: float, line_chunk: int = 512,
+                    eval_budget: int = 0):
     """Extinction (nlayer, n_coarse) for all layers (single device)."""
     if plan.class_tiles is None:
         out = fast_extinction_tiles(plan, d, temps, densities, Z, mol_mass,
                                     mol_radius, wn_i, dwn, ethresh, nwidth,
                                     tile0=0, ntiles=plan.ntiles,
-                                    line_chunk=line_chunk)
+                                    line_chunk=line_chunk,
+                                    eval_budget=eval_budget)
         return out[:, :plan.n_coarse]
 
     # Per-class execution: each line-count class runs with its own lmax so
@@ -203,7 +205,8 @@ def fast_extinction(plan: FastPlan, d, temps, densities,
     for ct, lm, dc in zip(plan.class_tiles, plan.class_lmax, d["classes"]):
         gidx = jnp.asarray(ct, dtype=jnp.int32)
         parts.append(_run_tiles(plan, d, dc, gidx, lm, prep, wn_i, dwn,
-                                ethresh, nwidth, line_chunk))
+                                ethresh, nwidth, line_chunk,
+                                eval_budget=eval_budget))
     tiles = jnp.concatenate(parts, axis=0)       # (ntiles, nlayer, tw)
     order = np.concatenate(plan.class_tiles)
     inv = np.empty_like(order)
@@ -236,91 +239,145 @@ def _prep_layers(plan: FastPlan, d, temps, densities, Z, mol_mass,
         k = s * SIGCTE * d["iso_ratio"][i] / (d["iso_mass"][i] * Z[i, :].T)
         return jnp.maximum(carry, jnp.max(k, axis=1)), None
 
-    npad = -(-plan.wavn.shape[0] // line_chunk) * line_chunk
-    pad = npad - plan.wavn.shape[0]
+    # Chunk the kmax scan so it runs <= ~16 sequential steps regardless of
+    # line count (a 512-line chunk on a 1e6-line list is 2000 dispatches):
+    nlines = plan.wavn.shape[0]
+    kchunk = max(line_chunk, -(-nlines // 16))
+    kchunk = -(-kchunk // 128) * 128
+    npad = -(-nlines // kchunk) * kchunk
+    pad = npad - nlines
     aw = jnp.pad(d["all_wavn"], (0, pad), constant_values=1.0)
     ae = jnp.pad(d["all_elow"], (0, pad), constant_values=1e30)
     ag = jnp.pad(d["all_gf"], (0, pad))
     ai = jnp.pad(d["all_iso"], (0, pad))
-    chunks = (aw.reshape(-1, line_chunk), ae.reshape(-1, line_chunk),
-              ag.reshape(-1, line_chunk), ai.reshape(-1, line_chunk))
-    kmax, _ = jax.lax.scan(kmax_chunk, jnp.zeros(nlayer, dtype=dtype),
-                           chunks)
+    chunks = (aw.reshape(-1, kchunk), ae.reshape(-1, kchunk),
+              ag.reshape(-1, kchunk), ai.reshape(-1, kchunk))
+    if npad == kchunk:
+        kmax, _ = kmax_chunk(jnp.zeros(nlayer, dtype=dtype),
+                             tuple(a[0] for a in chunks))
+    else:
+        kmax, _ = jax.lax.scan(kmax_chunk, jnp.zeros(nlayer, dtype=dtype),
+                               chunks)
     return {"temps": temps, "densities": densities, "Z": Z,
             "alphal": alphal, "alphad_f": alphad_f, "kmax": kmax,
             "dtype": dtype}
 
 
+# Per-scan-step Voigt evaluation budget (elements of the fused
+# (tile_block, nlayer, tw, line_chunk) tensor).  Sizes the tile blocks so
+# few sequential steps remain without risking an oversized intermediate if
+# a fusion fails.  Sweepable via fast_extinction(eval_budget=...).
+EVAL_BUDGET = 4 << 20
+
+
 def _run_tiles(plan: FastPlan, d, dtiles, gidx, lmax: int, prep,
                wn_i: float, dwn: float, ethresh: float, nwidth: float,
-               line_chunk: int):
+               line_chunk: int, eval_budget: int = 0):
     """Extinction tiles (nt, nlayer, tw) for the tile tensors ``dtiles``
     (leading dim nt) whose global tile indices are ``gidx`` (may be
-    traced)."""
+    traced).
+
+    Tiles are processed in *blocks* of TB tiles, each block one dense
+    batched evaluation — a sequential per-tile loop (409 tiles on the
+    standard workload) costs far more in per-step dispatch than the Voigt
+    math itself.  TB is sized so the fused (TB, nlayer, tw, line_chunk)
+    evaluation stays within eval_budget elements; the block loop is a
+    hand-batched lax.scan (lax.map's batch_size builds scan-of-vmap, which
+    stalls this TPU backend's remote compiler).
+    """
     dtype = prep["dtype"]
     temps, densities, Z = prep["temps"], prep["densities"], prep["Z"]
     alphal, alphad_f, kmax = prep["alphal"], prep["alphad_f"], prep["kmax"]
     nlayer = temps.shape[0]
-    wn_axis = wn_i + dwn * jnp.arange(plan.tw, dtype=dtype)
+    tw = plan.tw
+    wn_axis = wn_i + dwn * jnp.arange(tw, dtype=dtype)
+    nt = dtiles["wavn"].shape[0]
 
-    def one_tile(sl):
-        w, e, g, i, msk, tidx = sl
-        wn_blk = wn_axis + dwn * (tidx * plan.tw)        # (tw,)
+    # Line-chunk size: largest multiple of 128 <= line_chunk dividing lmax
+    # (lmax is always a multiple of 128):
+    lc = lmax
+    for cand in range(min(line_chunk, lmax), 0, -128):
+        if lmax % cand == 0:
+            lc = cand
+            break
+    nblk = lmax // lc
+
+    budget = int(eval_budget) if eval_budget else EVAL_BUDGET
+    tb = max(1, min(nt, budget // max(1, nlayer * tw * lc)))
+    nb = -(-nt // tb)
+    pad_t = nb * tb - nt
+
+    def pad_tiles(a, fill=0):
+        return jnp.pad(a, ((0, pad_t),) + ((0, 0),) * (a.ndim - 1),
+                       constant_values=fill)
+
+    wv_t = pad_tiles(dtiles["wavn"], 1.0)
+    el_t = pad_tiles(dtiles["elow"], 1e30)
+    gf_t = pad_tiles(dtiles["gf"])
+    iso_t = pad_tiles(dtiles["iso"])
+    msk_t = pad_tiles(dtiles["mask"])
+    gidx_t = jnp.pad(gidx, (0, pad_t), mode="edge")
+
+    def block_fn(sl):
+        w, e, g, i, msk, tidx = sl                       # (tb, lmax) / (tb,)
+        wn_blk = wn_axis[None, :] + dwn * (tidx[:, None].astype(dtype) * tw)
 
         def line_block(acc, sl2):
-            wv, el, gf_, iso_, m_ = sl2                  # (line_chunk,)
-            # (nlayer, lc) strengths:
-            s = (gf_ * jnp.exp(-EXPCTE * el / temps[:, None]) *
-                 (1.0 - jnp.exp(-EXPCTE * wv / temps[:, None])))
-            k = (s * SIGCTE * d["iso_ratio"][iso_] /
-                 (d["iso_mass"][iso_] * Z[iso_, :].T))
-            k = jnp.where(m_ & (k >= ethresh * kmax[:, None]), k, 0.0)
-            k = k * densities[d["iso_imol"][iso_], :].T
-            aL = alphal[:, iso_]                         # (nlayer, lc)
-            aD = alphad_f[:, iso_] * wv
+            wv, el, gf_, iso_, m_ = sl2                  # (tb, lc)
+            # (tb, nlayer, lc) strengths:
+            t3 = temps[None, :, None]
+            s = (gf_[:, None, :] * jnp.exp(-EXPCTE * el[:, None, :] / t3) *
+                 (1.0 - jnp.exp(-EXPCTE * wv[:, None, :] / t3)))
+            zi = jnp.moveaxis(Z[iso_], 2, 1)             # (tb, nlayer, lc)
+            k = (s * SIGCTE * d["iso_ratio"][iso_][:, None, :] /
+                 (d["iso_mass"][iso_][:, None, :] * zi))
+            keep = m_[:, None, :] & (k >= ethresh * kmax[None, :, None])
+            k = jnp.where(keep, k, 0.0)
+            k = k * jnp.moveaxis(densities[d["iso_imol"][iso_]], 2, 1)
+            aL = jnp.moveaxis(alphal[:, iso_], 1, 0)     # (tb, nlayer, lc)
+            aD = jnp.moveaxis(alphad_f[:, iso_], 1, 0) * wv[:, None, :]
             # Lines ride the last (128-lane) axis; tw bins on sublanes:
-            dist = jnp.abs(wn_blk[:, None] - wv[None, :])    # (tw, lc)
+            dist = jnp.abs(wn_blk[:, :, None] - wv[:, None, :])  # (tb,tw,lc)
             inv_aD = 1.0 / aD
-            x = SQRTLN2 * dist[None] * inv_aD[:, None, :]    # (nl, tw, lc)
+            x = (SQRTLN2 * dist[:, None] *
+                 inv_aD[:, :, None, :])                  # (tb, nl, tw, lc)
             y = SQRTLN2 * (aL * inv_aD)
-            prof = voigt_k_humlicek(x, y[:, None, :]) * inv_aD[:, None, :]
+            prof = (voigt_k_humlicek(x, y[:, :, None, :]) *
+                    inv_aD[:, :, None, :])
             wing = nwidth * jnp.maximum(aD, aL)
-            use = dist[None] <= wing[:, None, :]
-            val = jnp.sum(jnp.where(use, prof, 0.0) * k[:, None, :],
-                          axis=2)                        # (nlayer, tw)
+            use = dist[:, None] <= wing[:, :, None, :]
+            val = jnp.sum(jnp.where(use, prof, 0.0) * k[:, :, None, :],
+                          axis=3)                        # (tb, nlayer, tw)
             return acc + val, None
 
-        # Chunk size: largest multiple of 128 <= line_chunk that divides
-        # lmax (lmax is always a multiple of 128):
-        lc = lmax
-        for cand in range(min(line_chunk, lmax), 0, -128):
-            if lmax % cand == 0:
-                lc = cand
-                break
-        nblk = lmax // lc
-        sls = (w.reshape(nblk, lc), e.reshape(nblk, lc), g.reshape(nblk, lc),
-               i.reshape(nblk, lc), msk.reshape(nblk, lc))
+        sls = (w.reshape(tb, nblk, lc).swapaxes(0, 1),
+               e.reshape(tb, nblk, lc).swapaxes(0, 1),
+               g.reshape(tb, nblk, lc).swapaxes(0, 1),
+               i.reshape(tb, nblk, lc).swapaxes(0, 1),
+               msk.reshape(tb, nblk, lc).swapaxes(0, 1))
+        acc0 = jnp.zeros((tb, nlayer, tw), dtype=dtype)
         if nblk == 1:
-            acc, _ = line_block(jnp.zeros((nlayer, plan.tw), dtype=dtype),
-                                tuple(a[0] for a in sls))
+            acc, _ = line_block(acc0, tuple(a[0] for a in sls))
         else:
-            acc, _ = jax.lax.scan(
-                line_block, jnp.zeros((nlayer, plan.tw), dtype=dtype), sls)
+            acc, _ = jax.lax.scan(line_block, acc0, sls)
         return acc
 
-    # Note: lax.map batch_size would amortize per-tile dispatch further
-    # (0.81 -> 0.62 s on the CPU bench) but its vmapped graph stalls the
-    # TPU remote compiler for >25 min; plain map compiles in ~2 min.
-    return jax.lax.map(one_tile, (dtiles["wavn"], dtiles["elow"],
-                                  dtiles["gf"], dtiles["iso"],
-                                  dtiles["mask"], gidx))
+    blocks = (wv_t.reshape(nb, tb, lmax), el_t.reshape(nb, tb, lmax),
+              gf_t.reshape(nb, tb, lmax), iso_t.reshape(nb, tb, lmax),
+              msk_t.reshape(nb, tb, lmax), gidx_t.reshape(nb, tb))
+    if nb == 1:
+        out = block_fn(tuple(a[0] for a in blocks))
+    else:
+        out = jax.lax.map(block_fn, blocks)              # (nb, tb, nl, tw)
+        out = out.reshape(nb * tb, nlayer, tw)
+    return out[:nt]
 
 
 def fast_extinction_tiles(plan: FastPlan, d, temps, densities,
                           Z, mol_mass, mol_radius, wn_i: float, dwn: float,
                           ethresh: float, nwidth: float,
                           tile0=0, ntiles: int = None,
-                          line_chunk: int = 512):
+                          line_chunk: int = 512, eval_budget: int = 0):
     """Extinction (nlayer, ntiles*tw) for a contiguous tile range.
 
     ``d`` holds this range's tile tensors (wavn/elow/gf/iso/mask, first dim
@@ -341,7 +398,7 @@ def fast_extinction_tiles(plan: FastPlan, d, temps, densities,
     dtiles = {k: d[k][:ntiles]
               for k in ("wavn", "elow", "gf", "iso", "mask")}
     tiles = _run_tiles(plan, d, dtiles, gidx, plan.lmax, prep, wn_i, dwn,
-                       ethresh, nwidth, line_chunk)
+                       ethresh, nwidth, line_chunk, eval_budget=eval_budget)
     # (ntiles, nlayer, tw) -> (nlayer, ntiles*tw)
     return jnp.moveaxis(tiles, 0, 1).reshape(nlayer, ntiles * plan.tw)
 
@@ -441,7 +498,7 @@ def banded_device_arrays(bplan: BandedPlan, iso, dtype=jnp.float32):
 
 def banded_extinction(bplan: BandedPlan, devs, temps, densities, Z,
                       mol_mass, mol_radius, wn_i: float, dwn: float,
-                      ethresh: float, nwidth: float):
+                      ethresh: float, nwidth: float, eval_budget: int = 0):
     """Extinction (nlayer, n_coarse) via per-band plans; numerically the
     same quantity as fast_extinction (wing masks use true widths)."""
     perm = jnp.asarray(bplan.perm)
@@ -451,7 +508,7 @@ def banded_extinction(bplan: BandedPlan, devs, temps, densities, Z,
         ex = fast_extinction(plan, d, temps[sel], densities[:, sel],
                              Z[:, sel], mol_mass, mol_radius,
                              wn_i=wn_i, dwn=dwn, ethresh=ethresh,
-                             nwidth=nwidth)
+                             nwidth=nwidth, eval_budget=eval_budget)
         rows.append(ex)
     out = jnp.concatenate(rows, axis=0)          # permuted layer order
     return out[jnp.asarray(bplan.inv_perm)]
