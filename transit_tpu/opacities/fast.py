@@ -232,11 +232,26 @@ def _prep_layers(plan: FastPlan, d, temps, densities, Z, mol_mass,
                                       mol_mass, mol_radius),
         in_axes=(0, 1))(temps, densities)     # (nlayer, niso) each
 
+    # Per-(layer, iso) strength coefficient SIGCTE*ratio/(mass*Z)
+    # (extinction.c:413-419) and number density of each isotope's
+    # molecule — (niso, nlayer) tables broadcast to lines by unrolled
+    # select-sum below (gathers with multi-million-element index arrays
+    # are slow on TPU; niso is tiny):
+    coef_iso = (SIGCTE * d["iso_ratio"] / d["iso_mass"])[:, None] / Z
+    dens_iso = densities[d["iso_imol"], :]              # (niso, nlayer)
+    alphal_t = alphal.T                                 # (niso, nlayer)
+    alphad_f_t = alphad_f.T
+    niso = int(d["iso_mass"].shape[0])
+
     def kmax_chunk(carry, sl):
         w, e, g, i = sl
         s = (g * jnp.exp(-EXPCTE * e / temps[:, None]) *
              (1.0 - jnp.exp(-EXPCTE * w / temps[:, None])))
-        k = s * SIGCTE * d["iso_ratio"][i] / (d["iso_mass"][i] * Z[i, :].T)
+        coef = jnp.zeros_like(s)
+        for n in range(niso):
+            mm = (i == n).astype(dtype)[None, :]
+            coef = coef + mm * coef_iso[n][:, None]
+        k = s * coef
         return jnp.maximum(carry, jnp.max(k, axis=1)), None
 
     # Chunk the kmax scan so it runs <= ~16 sequential steps regardless of
@@ -260,6 +275,8 @@ def _prep_layers(plan: FastPlan, d, temps, densities, Z, mol_mass,
                                chunks)
     return {"temps": temps, "densities": densities, "Z": Z,
             "alphal": alphal, "alphad_f": alphad_f, "kmax": kmax,
+            "coef_iso": coef_iso, "dens_iso": dens_iso,
+            "alphal_t": alphal_t, "alphad_f_t": alphad_f_t, "niso": niso,
             "dtype": dtype}
 
 
@@ -328,14 +345,23 @@ def _run_tiles(plan: FastPlan, d, dtiles, gidx, lmax: int, prep,
             t3 = temps[None, :, None]
             s = (gf_[:, None, :] * jnp.exp(-EXPCTE * el[:, None, :] / t3) *
                  (1.0 - jnp.exp(-EXPCTE * wv[:, None, :] / t3)))
-            zi = jnp.moveaxis(Z[iso_], 2, 1)             # (tb, nlayer, lc)
-            k = (s * SIGCTE * d["iso_ratio"][iso_][:, None, :] /
-                 (d["iso_mass"][iso_][:, None, :] * zi))
+            # Per-isotope (niso, nlayer) tables -> per-line (tb, nl, lc)
+            # by unrolled select-sum (fuses; avoids 4 large gathers whose
+            # HBM cost dwarfs the Voigt math):
+            coef = jnp.zeros_like(s)
+            dd = jnp.zeros_like(s)
+            aL = jnp.zeros_like(s)
+            aDf = jnp.zeros_like(s)
+            for n in range(prep["niso"]):
+                mm = (iso_ == n).astype(dtype)[:, None, :]
+                coef = coef + mm * prep["coef_iso"][n][None, :, None]
+                dd = dd + mm * prep["dens_iso"][n][None, :, None]
+                aL = aL + mm * prep["alphal_t"][n][None, :, None]
+                aDf = aDf + mm * prep["alphad_f_t"][n][None, :, None]
+            k = s * coef
             keep = m_[:, None, :] & (k >= ethresh * kmax[None, :, None])
-            k = jnp.where(keep, k, 0.0)
-            k = k * jnp.moveaxis(densities[d["iso_imol"][iso_]], 2, 1)
-            aL = jnp.moveaxis(alphal[:, iso_], 1, 0)     # (tb, nlayer, lc)
-            aD = jnp.moveaxis(alphad_f[:, iso_], 1, 0) * wv[:, None, :]
+            k = jnp.where(keep, k, 0.0) * dd
+            aD = aDf * wv[:, None, :]
             # Lines ride the last (128-lane) axis; tw bins on sublanes:
             dist = jnp.abs(wn_blk[:, :, None] - wv[:, None, :])  # (tb,tw,lc)
             inv_aD = 1.0 / aD
