@@ -47,14 +47,26 @@ def main():
     lines = (model.fplan.wavn, model.fplan.isoid, model.fplan.elow,
              model.fplan.gf)
 
-    def timeit(fn, *args):
-        out = fn(*args)
+    def timeit(fn, *args, runs=20):
+        """Steady-state per-step time: ``runs`` steps as one lax.scan
+        device program (the tunnel's ~3.5 ms dispatch round-trip would
+        otherwise dominate a multi-ms kernel)."""
+        tstack = jnp.stack([args[0] + np.float32(0.01 * i)
+                            for i in range(runs)])
+
+        @jax.jit
+        def scan_steps(ts, *rest):
+            def body(c, tt):
+                return c, fn(tt, *rest)[0, ::64]
+            _, out = jax.lax.scan(body, 0, ts)
+            return out
+
+        out = scan_steps(tstack, *args[1:])
         out.block_until_ready()
         t0 = time.perf_counter()
-        for _ in range(5):
-            out = fn(*args)
+        out = scan_steps(tstack, *args[1:])
         out.block_until_ready()
-        return (time.perf_counter() - t0) / 5
+        return (time.perf_counter() - t0) / runs
 
     # unbanded baseline:
     f0 = jax.jit(lambda t, d_, z: fast.fast_extinction(
@@ -62,19 +74,19 @@ def main():
     dt = timeit(f0, temps, dens, Z)
     print(f"unbanded tw={model.fplan.tw}: {dt*1e3:8.2f} ms", flush=True)
 
-    for tw_scale in (1.0, 2.0, 4.0, 8.0, 16.0):
-        for classes in (True, False):
+    for tw_scale in (0.5, 1.0, 2.0, 4.0):
+        for split in (False, True):
             bp = fast.make_banded_plans(
                 *lines, wn_i=model.wns.i, dwn=model.wns.d,
                 n_coarse=model.wns.n, aL_layers=aL, aDf_layers=aDf,
                 wn_max=model.wns.f, nwidth=cfg.nwidth, max_bands=6,
-                tw_scale=tw_scale, classes=classes)
+                tw_scale=tw_scale, split_far=split)
             bd = fast.banded_device_arrays(bp, model.iso, dtype=model.dtype)
             fb = jax.jit(lambda t, d_, z: fast.banded_extinction(
                 bp, bd, t, d_, z, molm, molr, **kw))
             dt = timeit(fb, temps, dens, Z)
             shape = ",".join(f"{p.tw}x{p.ntiles}" for p in bp.plans)
-            print(f"banded tw_scale={tw_scale:4.1f} classes={int(classes)} "
+            print(f"banded tw_scale={tw_scale:4.1f} split={int(split)} "
                   f"[{shape}]: {dt*1e3:8.2f} ms", flush=True)
 
 

@@ -149,6 +149,21 @@ def test_run_transit_flat_api():
     np.testing.assert_allclose(a, b, rtol=1e-12)
 
 
+def test_split_far_matches_unsplit():
+    """The far-line region-II split (opacities/fast.py R2_MARGIN) must be
+    bit-identical to the unsplit banded path: far lines satisfy
+    s = |x| + y >= 5.5 for every (layer, bin) they are evaluated at, so
+    the full Humlicek kernel would select the same region-II branch."""
+    cfg = make_config("eclipse", 1e30)
+    m0 = TransitModel(cfg, mode="fast", bands=6, split_far=False)
+    m1 = TransitModel(cfg, mode="fast", bands=6, split_far=True)
+    t = jnp.asarray(m0.atm.temp, m0.dtype)
+    q = jnp.asarray(m0.atm.q, m0.dtype)
+    s0 = np.asarray(jax.jit(m0.forward)(t, q))
+    s1 = np.asarray(jax.jit(m1.forward)(t, q))
+    np.testing.assert_allclose(s1, s0, rtol=1e-12)
+
+
 def test_banded_matches_unbanded():
     """Layer-banded plans (+ tile line-count classes) must reproduce the
     single-global-halo fast path exactly (the wing mask uses true

@@ -60,11 +60,13 @@ class SpectrumResult:
 
 class TransitModel:
     def __init__(self, cfg: TransitConfig, dtype=None, mode: str = "exact",
-                 use_pallas: bool = False, bands: int = 0):
+                 use_pallas: bool = False, bands: int = 0,
+                 split_far: bool = True):
         self.cfg = cfg
         self.mode = mode
         self.use_pallas = use_pallas
         self.bands = bands
+        self.split_far = split_far
         if dtype is None:
             dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
         self.dtype = dtype
@@ -158,7 +160,8 @@ class TransitModel:
                         wavn, isoid, elow, gf, wn_i=self.wns.i,
                         dwn=self.wns.d, n_coarse=self.wns.n, aL_layers=aL,
                         aDf_layers=aDf, wn_max=self.wns.f,
-                        nwidth=cfg.nwidth, max_bands=bands)
+                        nwidth=cfg.nwidth, max_bands=bands,
+                        split_far=split_far)
                     self.bdev = fast.banded_device_arrays(
                         self.bplan, self.iso, dtype=self.dtype)
                 else:

@@ -33,7 +33,16 @@ import jax
 import jax.numpy as jnp
 
 from transit_tpu.constants import SQRTLN2, SIGCTE, EXPCTE, KB, AMU, LS, PI
-from transit_tpu.opacities.voigt import voigt_k, voigt_k_humlicek
+from transit_tpu.opacities.voigt import (voigt_k, voigt_k_humlicek,
+                                         voigt_k_humlicek_r2)
+
+# Far-line margin: region II of the Humlicek w4 kernel is selected when
+# s = |x| + y >= 5.5, i.e. at distances >= 5.5/sqrt(ln2) Doppler widths
+# from the line center irrespective of y.  Lines farther than
+# R2_MARGIN * alphaD_max from every bin of a tile can therefore be
+# evaluated with the region-II rational alone (bit-identical result,
+# ~4x less VPU work); 1.02 is a safety factor on the host width bound.
+R2_MARGIN = 1.02 * 5.5 / float(SQRTLN2)
 
 
 @dataclasses.dataclass
@@ -100,31 +109,46 @@ def make_fast_plan(wavn, isoid, elow, gf, wn_i: float, dwn: float,
     hi = wn_i + ((np.arange(ntiles) + 1) * tw + halo) * dwn
     start = np.searchsorted(wavn, lo, side="left")
     end = np.searchsorted(wavn, hi, side="right")
+    return _subplan(wavn, isoid, elow, gf, start, end, tw=tw,
+                    ntiles=ntiles, n_coarse=n_coarse, halo_rep=halo_rep,
+                    classes=classes)
+
+
+def _tile_classes(count, lmax: int, classes: bool):
+    """Group tiles by line count in powers-of-two 128-multiples; a class
+    is only worth a separate kernel if it has enough tiles."""
+    ntiles = count.shape[0]
+    if not (classes and ntiles > 1 and lmax > 128):
+        return None, None
+    cls_of = np.maximum(128, 2 ** np.ceil(
+        np.log2(np.maximum(count, 1))).astype(np.int64))
+    cls_of = np.minimum(cls_of, lmax)
+    # Merge classes with <8 tiles into the next-larger level (a tiny
+    # class isn't worth its own compiled kernel):
+    levels = sorted(set(cls_of.tolist()))
+    for i, lv in enumerate(levels[:-1]):
+        if (cls_of == lv).sum() < 8:
+            cls_of[cls_of == lv] = levels[i + 1]
+    class_tiles, class_lmax = [], []
+    for lv in sorted(set(cls_of.tolist())):
+        idx = np.nonzero(cls_of == lv)[0]
+        class_tiles.append(idx.astype(np.int32))
+        class_lmax.append(int(lv))
+    if len(class_tiles) == 1:
+        return None, None
+    return class_tiles, class_lmax
+
+
+def _subplan(wavn, isoid, elow, gf, start, end, tw, ntiles, n_coarse,
+             halo_rep, classes):
+    """FastPlan over pre-sorted line arrays with explicit per-tile line
+    ranges [start, end)."""
     count = end - start
     lmax = int(count.max()) if count.size else 0
     lmax = max(lmax, 1)
     # Round up for clean tiling:
     lmax = -(-lmax // 128) * 128
-    class_tiles = class_lmax = None
-    if classes and ntiles > 1 and lmax > 128:
-        # Group tiles by line count in powers-of-two 128-multiples; a
-        # class is only worth a separate kernel if it has enough tiles:
-        cls_of = np.maximum(128, 2 ** np.ceil(
-            np.log2(np.maximum(count, 1))).astype(np.int64))
-        cls_of = np.minimum(cls_of, lmax)
-        # Merge classes with <8 tiles into the next-larger level (a tiny
-        # class isn't worth its own compiled kernel):
-        levels = sorted(set(cls_of.tolist()))
-        for i, lv in enumerate(levels[:-1]):
-            if (cls_of == lv).sum() < 8:
-                cls_of[cls_of == lv] = levels[i + 1]
-        class_tiles, class_lmax = [], []
-        for lv in sorted(set(cls_of.tolist())):
-            idx = np.nonzero(cls_of == lv)[0]
-            class_tiles.append(idx.astype(np.int32))
-            class_lmax.append(int(lv))
-        if len(class_tiles) == 1:
-            class_tiles = class_lmax = None
+    class_tiles, class_lmax = _tile_classes(count, lmax, classes)
     return FastPlan(wavn=wavn, isoid=isoid, elow=elow, gf=gf,
                     tile_start=start.astype(np.int32),
                     tile_count=count.astype(np.int32),
@@ -186,27 +210,35 @@ def _layer_widths(temp, density, iso_mass, iso_imol, mol_mass, mol_radius):
 def fast_extinction(plan: FastPlan, d, temps, densities,
                     Z, mol_mass, mol_radius, wn_i: float, dwn: float,
                     ethresh: float, nwidth: float, line_chunk: int = 512,
-                    eval_budget: int = 0):
-    """Extinction (nlayer, n_coarse) for all layers (single device)."""
+                    eval_budget: int = 0, prep=None,
+                    voigt_fn=voigt_k_humlicek):
+    """Extinction (nlayer, n_coarse) for all layers (single device).
+
+    ``prep`` (from :func:`_prep_layers`) may be shared across the near/far
+    subplans of a split band — it depends only on the full line list.
+    """
+    if prep is None:
+        prep = _prep_layers(plan, d, temps, densities, Z, mol_mass,
+                            mol_radius, line_chunk)
+    nlayer = prep["temps"].shape[0]
     if plan.class_tiles is None:
-        out = fast_extinction_tiles(plan, d, temps, densities, Z, mol_mass,
-                                    mol_radius, wn_i, dwn, ethresh, nwidth,
-                                    tile0=0, ntiles=plan.ntiles,
-                                    line_chunk=line_chunk,
-                                    eval_budget=eval_budget)
+        gidx = jnp.arange(plan.ntiles, dtype=jnp.int32)
+        dtiles = {k: d[k] for k in ("wavn", "elow", "gf", "iso", "mask")}
+        tiles = _run_tiles(plan, d, dtiles, gidx, plan.lmax, prep, wn_i,
+                           dwn, ethresh, nwidth, line_chunk,
+                           eval_budget=eval_budget, voigt_fn=voigt_fn)
+        out = jnp.moveaxis(tiles, 0, 1).reshape(nlayer,
+                                                plan.ntiles * plan.tw)
         return out[:, :plan.n_coarse]
 
     # Per-class execution: each line-count class runs with its own lmax so
     # sparse tiles don't pay the densest tile's padding.
-    prep = _prep_layers(plan, d, temps, densities, Z, mol_mass, mol_radius,
-                        line_chunk)
-    nlayer = prep["temps"].shape[0]
     parts = []
     for ct, lm, dc in zip(plan.class_tiles, plan.class_lmax, d["classes"]):
         gidx = jnp.asarray(ct, dtype=jnp.int32)
         parts.append(_run_tiles(plan, d, dc, gidx, lm, prep, wn_i, dwn,
                                 ethresh, nwidth, line_chunk,
-                                eval_budget=eval_budget))
+                                eval_budget=eval_budget, voigt_fn=voigt_fn))
     tiles = jnp.concatenate(parts, axis=0)       # (ntiles, nlayer, tw)
     order = np.concatenate(plan.class_tiles)
     inv = np.empty_like(order)
@@ -289,7 +321,8 @@ EVAL_BUDGET = 4 << 20
 
 def _run_tiles(plan: FastPlan, d, dtiles, gidx, lmax: int, prep,
                wn_i: float, dwn: float, ethresh: float, nwidth: float,
-               line_chunk: int, eval_budget: int = 0):
+               line_chunk: int, eval_budget: int = 0,
+               voigt_fn=voigt_k_humlicek):
     """Extinction tiles (nt, nlayer, tw) for the tile tensors ``dtiles``
     (leading dim nt) whose global tile indices are ``gidx`` (may be
     traced).
@@ -368,7 +401,7 @@ def _run_tiles(plan: FastPlan, d, dtiles, gidx, lmax: int, prep,
             x = (SQRTLN2 * dist[:, None] *
                  inv_aD[:, :, None, :])                  # (tb, nl, tw, lc)
             y = SQRTLN2 * (aL * inv_aD)
-            prof = (voigt_k_humlicek(x, y[:, :, None, :]) *
+            prof = (voigt_fn(x, y[:, :, None, :]) *
                     inv_aD[:, :, None, :])
             wing = nwidth * jnp.maximum(aD, aL)
             use = dist[:, None] <= wing[:, :, None, :]
@@ -403,7 +436,8 @@ def fast_extinction_tiles(plan: FastPlan, d, temps, densities,
                           Z, mol_mass, mol_radius, wn_i: float, dwn: float,
                           ethresh: float, nwidth: float,
                           tile0=0, ntiles: int = None,
-                          line_chunk: int = 512, eval_budget: int = 0):
+                          line_chunk: int = 512, eval_budget: int = 0,
+                          prep=None, voigt_fn=voigt_k_humlicek):
     """Extinction (nlayer, ntiles*tw) for a contiguous tile range.
 
     ``d`` holds this range's tile tensors (wavn/elow/gf/iso/mask, first dim
@@ -417,14 +451,16 @@ def fast_extinction_tiles(plan: FastPlan, d, temps, densities,
     """
     if ntiles is None:
         ntiles = d["wavn"].shape[0]
-    prep = _prep_layers(plan, d, temps, densities, Z, mol_mass, mol_radius,
-                        line_chunk)
+    if prep is None:
+        prep = _prep_layers(plan, d, temps, densities, Z, mol_mass,
+                            mol_radius, line_chunk)
     nlayer = prep["temps"].shape[0]
     gidx = tile0 + jnp.arange(ntiles, dtype=jnp.int32)
     dtiles = {k: d[k][:ntiles]
               for k in ("wavn", "elow", "gf", "iso", "mask")}
     tiles = _run_tiles(plan, d, dtiles, gidx, plan.lmax, prep, wn_i, dwn,
-                       ethresh, nwidth, line_chunk, eval_budget=eval_budget)
+                       ethresh, nwidth, line_chunk, eval_budget=eval_budget,
+                       voigt_fn=voigt_fn)
     # (ntiles, nlayer, tw) -> (nlayer, ntiles*tw)
     return jnp.moveaxis(tiles, 0, 1).reshape(nlayer, ntiles * plan.tw)
 
@@ -447,7 +483,12 @@ class BandedPlan:
     perm: np.ndarray          # (nl,) layer order, widest first
     inv_perm: np.ndarray      # (nl,) inverse permutation
     slices: list              # [(lo, hi)] into perm per band
-    plans: list               # FastPlan per band
+    plans: list               # FastPlan per band (near plan when split)
+    # Far-line split (see R2_MARGIN): per band, (farL, farR) FastPlans
+    # over the wing-only line ranges left/right of each tile's near
+    # window, evaluated with the region-II-only Voigt kernel; None when
+    # the band isn't split.  plans[i] then covers only the near window.
+    far_plans: list = None    # [(farL|None, farR|None) or None] per band
 
 
 def layer_width_bounds(atm, mol, iso_mass, iso_imol=None):
@@ -475,8 +516,9 @@ def layer_width_bounds(atm, mol, iso_mass, iso_imol=None):
 def make_banded_plans(wavn, isoid, elow, gf, wn_i: float, dwn: float,
                       n_coarse: int, aL_layers, aDf_layers, wn_max: float,
                       nwidth: float, max_bands: int = 4,
-                      ratio: float = 3.0, tw_scale: float = 4.0,
-                      classes: bool = True) -> BandedPlan:
+                      ratio: float = 3.0, tw_scale: float = 1.0,
+                      classes: bool = True,
+                      split_far: bool = True) -> BandedPlan:
     """Split layers into width bands and build one FastPlan per band.
 
     aL_layers/aDf_layers: per-layer width bounds (layer_width_bounds).
@@ -484,9 +526,16 @@ def make_banded_plans(wavn, isoid, elow, gf, wn_i: float, dwn: float,
     current band's maximum, up to max_bands bands.
 
     tw_scale: tile width multiplier over the halo-sized default.  Wasted
-    Voigt work grows ~ (tw + 2 halo) but the sequential tile loop shrinks
-    ~ 1/tw; on real TPU the loop overhead of many small tiles dominates,
-    so bands default to fatter tiles than the single-plan path.
+    Voigt work grows ~ (tw + 2 halo) while the tile count shrinks ~ 1/tw;
+    since tiles execute in dense blocks (_run_tiles), small tiles no
+    longer pay per-tile dispatch, and the TPU sweep (benchmarks/
+    sweep_tw.py) puts the optimum at tw ~ halo.
+
+    split_far: per tile, partition the bucketed lines into a *near* window
+    (within R2_MARGIN Doppler widths of a tile bin — full Humlicek w4) and
+    two *far* ranges (wing-only — region-II rational, bit-identical where
+    selected, ~4x cheaper).  Worthwhile when the halo is Lorentz-dominated
+    (halo >> Doppler margin), i.e. high-pressure bands.
     """
     w = np.maximum(aL_layers, aDf_layers * wn_max)
     perm = np.argsort(-w, kind="stable")
@@ -498,7 +547,13 @@ def make_banded_plans(wavn, isoid, elow, gf, wn_i: float, dwn: float,
                             len(slices) < max_bands - 1):
             slices.append((lo, i))
             lo = i
+    order = np.argsort(wavn, kind="stable")
+    wavn_s = np.asarray(wavn, dtype=np.float64)[order]
+    isoid_s = np.asarray(isoid, dtype=np.int32)[order]
+    elow_s = np.asarray(elow, dtype=np.float64)[order]
+    gf_s = np.asarray(gf, dtype=np.float64)[order]
     plans = []
+    far_plans = [] if split_far else None
     for (a, b) in slices:
         sel = perm[a:b]
         halo_est = nwidth * float(w[sel].max()) / dwn
@@ -507,34 +562,92 @@ def make_banded_plans(wavn, isoid, elow, gf, wn_i: float, dwn: float,
         # max-tw boundaries):
         tw = int(min(512, max(8, 2 ** int(np.ceil(np.log2(
             max(halo_est * tw_scale, 1.0)))))))
-        plans.append(make_fast_plan(
-            wavn, isoid, elow, gf, wn_i=wn_i, dwn=dwn, n_coarse=n_coarse,
-            max_width=float(w[sel].max()), nwidth=nwidth, tw=tw,
-            aL_max=float(aL_layers[sel].max()),
-            aDf_max=float(aDf_layers[sel].max()), classes=classes))
+        aL_max = float(aL_layers[sel].max())
+        aDf_max = float(aDf_layers[sel].max())
+        ntiles = -(-n_coarse // tw)
+        k = np.arange(ntiles)
+        wn_hi_tile = wn_i + (k + 1) * tw * dwn
+        width_t = np.maximum(aL_max, aDf_max * wn_hi_tile)
+        halo = nwidth * width_t / dwn + 1.0          # (ntiles,) in bins
+        lo_full = wn_i + (k * tw - halo) * dwn
+        hi_full = wn_i + ((k + 1) * tw + halo) * dwn
+        margin = R2_MARGIN * aDf_max * (wn_hi_tile + halo * dwn) + dwn
+        do_split = split_far and bool(np.any(halo * dwn > 2.0 * margin))
+        if not do_split:
+            plans.append(_subplan(
+                wavn_s, isoid_s, elow_s, gf_s,
+                np.searchsorted(wavn_s, lo_full, side="left"),
+                np.searchsorted(wavn_s, hi_full, side="right"),
+                tw=tw, ntiles=ntiles, n_coarse=n_coarse,
+                halo_rep=float(halo.max()), classes=classes))
+            if split_far:
+                far_plans.append(None)
+            continue
+        lo_near = wn_i + k * tw * dwn - margin
+        hi_near = wn_i + (k + 1) * tw * dwn + margin
+        sL = np.searchsorted(wavn_s, lo_full, side="left")
+        sNl = np.searchsorted(wavn_s, lo_near, side="left")
+        sNr = np.searchsorted(wavn_s, hi_near, side="right")
+        sR = np.searchsorted(wavn_s, hi_full, side="right")
+        mk = lambda s, e: _subplan(wavn_s, isoid_s, elow_s, gf_s, s, e,
+                                   tw=tw, ntiles=ntiles, n_coarse=n_coarse,
+                                   halo_rep=float(halo.max()),
+                                   classes=classes)
+        plans.append(mk(sNl, sNr))
+        farL = mk(sL, sNl) if int((sNl - sL).max()) > 0 else None
+        farR = mk(sNr, sR) if int((sR - sNr).max()) > 0 else None
+        far_plans.append((farL, farR))
     inv = np.empty_like(perm)
     inv[perm] = np.arange(len(perm))
-    return BandedPlan(perm=perm, inv_perm=inv, slices=slices, plans=plans)
+    return BandedPlan(perm=perm, inv_perm=inv, slices=slices, plans=plans,
+                      far_plans=far_plans)
 
 
 def banded_device_arrays(bplan: BandedPlan, iso, dtype=jnp.float32):
-    """Per-band device tensors (list parallel to bplan.plans)."""
-    return [fast_device_arrays(p, iso, dtype=dtype) for p in bplan.plans]
+    """Per-band device tensors (list parallel to bplan.plans).  When the
+    band is far-split, the dict gains "farL"/"farR" tile-tensor dicts."""
+    devs = []
+    for i, p in enumerate(bplan.plans):
+        d = fast_device_arrays(p, iso, dtype=dtype)
+        if bplan.far_plans is not None and bplan.far_plans[i] is not None:
+            for key, fp in zip(("farL", "farR"), bplan.far_plans[i]):
+                if fp is not None:
+                    fd = fast_device_arrays(fp, iso, dtype=dtype)
+                    d[key] = {k: fd[k] for k in
+                              (("classes",) if fp.class_tiles is not None
+                               else ("wavn", "elow", "gf", "iso", "mask"))}
+        devs.append(d)
+    return devs
 
 
 def banded_extinction(bplan: BandedPlan, devs, temps, densities, Z,
                       mol_mass, mol_radius, wn_i: float, dwn: float,
                       ethresh: float, nwidth: float, eval_budget: int = 0):
     """Extinction (nlayer, n_coarse) via per-band plans; numerically the
-    same quantity as fast_extinction (wing masks use true widths)."""
+    same quantity as fast_extinction (wing masks use true widths, and far
+    lines take the region-II branch the full kernel would select)."""
     perm = jnp.asarray(bplan.perm)
     rows = []
-    for (a, b), plan, d in zip(bplan.slices, bplan.plans, devs):
+    for i, ((a, b), plan, d) in enumerate(zip(bplan.slices, bplan.plans,
+                                              devs)):
         sel = perm[a:b]
-        ex = fast_extinction(plan, d, temps[sel], densities[:, sel],
-                             Z[:, sel], mol_mass, mol_radius,
-                             wn_i=wn_i, dwn=dwn, ethresh=ethresh,
-                             nwidth=nwidth, eval_budget=eval_budget)
+        args = (temps[sel], densities[:, sel], Z[:, sel],
+                mol_mass, mol_radius)
+        kw = dict(wn_i=wn_i, dwn=dwn, ethresh=ethresh, nwidth=nwidth,
+                  eval_budget=eval_budget)
+        far = (bplan.far_plans[i]
+               if bplan.far_plans is not None else None)
+        if far is None:
+            rows.append(fast_extinction(plan, d, *args, **kw))
+            continue
+        prep = _prep_layers(plan, d, *args, line_chunk=512)
+        ex = fast_extinction(plan, d, *args, prep=prep, **kw)
+        for key, fp in zip(("farL", "farR"), far):
+            if fp is None:
+                continue
+            fd = dict(d, **d[key])   # shared all_*/iso_* + far tiles
+            ex = ex + fast_extinction(fp, fd, *args, prep=prep,
+                                      voigt_fn=voigt_k_humlicek_r2, **kw)
         rows.append(ex)
     out = jnp.concatenate(rows, axis=0)          # permuted layer order
     return out[jnp.asarray(bplan.inv_perm)]

@@ -198,6 +198,36 @@ def voigt_k_humlicek(x, y):
     return SQRTLN2PI * w
 
 
+def voigt_k_humlicek_r2(x, y):
+    """Region II of :func:`voigt_k_humlicek` alone: the |t| >= 5.5
+    asymptotic rational w = t (1.410474 + 0.5641896 u) / (0.75 + u (3 + u)),
+    u = t^2, t = y - ix.
+
+    Valid (and bit-identical to the full kernel, which selects this same
+    branch) whenever s = |x| + y >= 5.5.  The fast extinction path uses it
+    for *far* lines — lines whose center is farther from every bin of a
+    tile than the host-computed margin 5.5/sqrt(ln2) * alphaD_max — where
+    computing regions III/IV (two degree-5..7 complex Horner chains plus
+    exp/cos) only to mask them out is ~4x wasted VPU work.
+    """
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    dtype = jnp.result_type(x, y)
+    x = x.astype(dtype)
+    y = jnp.broadcast_to(y.astype(dtype), x.shape)
+
+    tr, ti = y, -x
+    ur = (y - x) * (y + x)
+    ui = -2.0 * x * y
+    nr = tr * (1.410474 + 0.5641896 * ur) - ti * (0.5641896 * ui)
+    ni = tr * (0.5641896 * ui) + ti * (1.410474 + 0.5641896 * ur)
+    qr = ur * (3.0 + ur) - ui * ui
+    qi = ur * ui + ui * (3.0 + ur)
+    dr = 0.75 + qr
+    di = qi
+    return SQRTLN2PI * (nr * dr + ni * di) / (dr * dr + di * di)
+
+
 def voigt_profile(wn, wn0, alphaL, alphaD):
     """Pointwise area-normalized Voigt profile, reference voigtf (voigt.c:205-227)."""
     y = SQRTLN2 * alphaL / alphaD

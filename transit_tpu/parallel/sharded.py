@@ -29,6 +29,7 @@ from jax import shard_map
 
 from transit_tpu.constants import NAVOGADRO, SUNRADIUS
 from transit_tpu.opacities import fast
+from transit_tpu.opacities.voigt import voigt_k_humlicek, voigt_k_humlicek_r2
 from transit_tpu.opacities.cia import cs_extinction
 from transit_tpu.opacities.clouds import cloud_extinction
 from transit_tpu.opacities.scattering import scattering_extinction
@@ -93,23 +94,35 @@ def make_sharded_forward(model, mesh: Mesh):
         B = max(p.tw for p in bplan.plans)
         span = (-(-n_coarse // (ndev * B))) * B          # bins per device
         tile_args = {}
-        band_meta = []                                   # (plan, ntl, keys)
+        band_meta = []          # per band: [(plan, ntl, keys, is_far), ...]
         for i, p in enumerate(bplan.plans):
-            assert B % p.tw == 0, "band tile widths must divide the block"
-            ntl = span // p.tw
-            ntp = ndev * ntl
-            t = fast._tile_tensors(p, np.arange(p.ntiles), p.lmax, dtype)
-            pad = ntp - p.ntiles
-            if pad:
-                t = {k: jnp.concatenate(
-                    [v, jnp.zeros((pad,) + v.shape[1:], v.dtype)], axis=0)
-                    for k, v in t.items()}
-            keys = {k: f"b{i}_{k}" for k in t}
-            tile_args.update({keys[k]: v for k, v in t.items()})
-            band_meta.append((p, ntl, keys))
+            far = (bplan.far_plans[i]
+                   if bplan.far_plans is not None else None)
+            subs = [(p, False, f"b{i}_")]
+            if far is not None:
+                subs += [(fp, True, f"b{i}{tag}_")
+                         for tag, fp in zip(("L", "R"), far)
+                         if fp is not None]
+            metas = []
+            for sp, is_far, prefix in subs:
+                assert B % sp.tw == 0, \
+                    "band tile widths must divide the block"
+                ntl = span // sp.tw
+                ntp = ndev * ntl
+                t = fast._tile_tensors(sp, np.arange(sp.ntiles), sp.lmax,
+                                       dtype)
+                pad = ntp - sp.ntiles
+                if pad:
+                    t = {k: jnp.concatenate(
+                        [v, jnp.zeros((pad,) + v.shape[1:], v.dtype)],
+                        axis=0) for k, v in t.items()}
+                keys = {k: prefix + k for k in t}
+                tile_args.update({keys[k]: v for k, v in t.items()})
+                metas.append((sp, ntl, keys, is_far))
+            band_meta.append(metas)
         shared = {k: v for k, v in model.bdev[0].items()
                   if k not in ("classes", "wavn", "elow", "gf", "iso",
-                               "mask")}
+                               "mask", "farL", "farR")}
         perm = np.asarray(bplan.perm)
         inv_perm = jnp.asarray(bplan.inv_perm)
     else:
@@ -155,13 +168,24 @@ def make_sharded_forward(model, mesh: Mesh):
                                  temps_cgs, densities)       # (nl, span)
         elif banded:
             rows = []
-            for (p, ntl, keys), (a, b) in zip(band_meta, bplan.slices):
+            for metas, (a, b) in zip(band_meta, bplan.slices):
                 sel = jnp.asarray(perm[a:b])
-                ldev = dict(shared,
-                            **{k: tiles[keys[k]] for k in keys})
-                rows.append(fast.fast_extinction_tiles(
-                    p, ldev, temps_cgs[sel], densities[:, sel], Z[:, sel],
-                    molm, mol_radius, tile0=widx * ntl, ntiles=ntl, **kw))
+                args = (temps_cgs[sel], densities[:, sel], Z[:, sel],
+                        molm, mol_radius)
+                prep = None
+                ex_b = 0.0
+                for p, ntl, keys, is_far in metas:
+                    ldev = dict(shared,
+                                **{k: tiles[keys[k]] for k in keys})
+                    if prep is None:
+                        prep = fast._prep_layers(p, ldev, *args,
+                                                 line_chunk=512)
+                    ex_b = ex_b + fast.fast_extinction_tiles(
+                        p, ldev, *args, tile0=widx * ntl, ntiles=ntl,
+                        prep=prep,
+                        voigt_fn=(voigt_k_humlicek_r2 if is_far
+                                  else voigt_k_humlicek), **kw)
+                rows.append(ex_b)
             ex = jnp.concatenate(rows, axis=0)[inv_perm]    # (nl, span)
         else:
             ldev = dict(shared, **tiles)
