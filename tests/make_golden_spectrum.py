@@ -299,6 +299,23 @@ def main():
     shutil.copy("/tmp/goldrun_raddelt/ext.save",
                 os.path.join(GOLD, "ref_ext.save"))
 
+    # Scattering + cloud conformance.  Well-defined subset only: both
+    # Rayleigh flags read just p/T/pol, and cloud model 1 reads just the
+    # pressure array.  Cloud models 2-5 multiply the reference's
+    # *uninitialized* mean_dens stack array (tau.c:129 declares it, 203
+    # accumulates without zeroing — UB), so they cannot be pinned to the
+    # binary; transit_tpu computes the intended quantity (documented in
+    # model.py) and pins those models with unit tests instead.
+    r = run_reference(cfg, "/tmp/goldrun_scat1", "eclipse", 1e30,
+                      extra="raygrid 0 40 80\nscattering 0.5\n")
+    np.savez_compressed(os.path.join(GOLD, "ref_eclipse_scat.npz"), **r)
+    r = run_reference(cfg, "/tmp/goldrun_scat2", "transit", 1e30,
+                      extra="scattering polar\n")
+    np.savez_compressed(os.path.join(GOLD, "ref_transit_polar.npz"), **r)
+    r = run_reference(cfg, "/tmp/goldrun_cloud1", "transit", 1e30,
+                      extra="cloud ext,1e-8,-1.0,1.5\n")
+    np.savez_compressed(os.path.join(GOLD, "ref_transit_cloud1.npz"), **r)
+
     # Multi-database / multi-molecule fixture:
     make_multi()
     mcfg = CFG_MULTI.format(fix=FIX)

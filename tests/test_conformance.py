@@ -144,6 +144,42 @@ class TestMultiDatabase:
         assert rel.max() < 0.1
 
 
+class TestScatteringClouds:
+    """Rayleigh scattering (both flags) and cloud model 1 against the
+    reference binary.  Cloud models 2-5 multiply the reference's
+    *uninitialized* mean_dens stack array (tau.c:129,203 — UB), so they
+    cannot be golden-pinned; transit_tpu computes the intended quantity
+    (documented in model.py) and they are covered by unit tests."""
+
+    def test_lecavelier_scattering_eclipse(self):
+        g = np.load(os.path.join(GOLD, "ref_eclipse_scat.npz"))
+        cfg = make_config("eclipse", 1e30, raygrid="0 40 80")
+        cfg.scattering = "0.5"
+        res = TransitModel(cfg).compute()
+        np.testing.assert_allclose(np.asarray(res.spectrum), g["spec"],
+                                   rtol=1e-5)
+
+    def test_polarizability_scattering_transit(self):
+        g = np.load(os.path.join(GOLD, "ref_transit_polar.npz"))
+        cfg = make_config("transit", 1e30)
+        cfg.scattering = "polar"
+        res = TransitModel(cfg).compute()
+        np.testing.assert_allclose(np.asarray(res.tau), g["tau"],
+                                   rtol=5e-5, atol=g["tau"].max() * 1e-10)
+        np.testing.assert_allclose(np.asarray(res.spectrum), g["spec"],
+                                   rtol=1e-5)
+
+    def test_cloud_ext_transit(self):
+        g = np.load(os.path.join(GOLD, "ref_transit_cloud1.npz"))
+        cfg = make_config("transit", 1e30)
+        cfg.cloud = "ext,1e-8,-1.0,1.5"   # reference type-name syntax
+        res = TransitModel(cfg).compute()
+        np.testing.assert_allclose(np.asarray(res.tau), g["tau"],
+                                   rtol=5e-5, atol=g["tau"].max() * 1e-10)
+        np.testing.assert_allclose(np.asarray(res.spectrum), g["spec"],
+                                   rtol=1e-5)
+
+
 def test_eclipse_full_oversampling():
     """wnosamp = 2160 (the demo's production value): exercises large
     profiles including the VOIGT_QUICK path (nvgt > 99999,

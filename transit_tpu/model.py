@@ -271,12 +271,17 @@ class TransitModel:
         return 1, float(s)
 
     def _parse_cloud(self):
-        """argum.c:636-718: 'flag,ext,top,bot[,extra...]'."""
+        """argum.c:636-718: 'type,ext,top,bot[,extra...]' with type one of
+        ext/opa/B17/F18/P19 (reference syntax) or the numeric flag 1-5."""
         c = self.cfg.cloud
         if c is None:
             return CloudParams()
-        parts = [float(x) for x in c.split(",")]
-        flag = int(parts[0])
+        names = {"ext": 1, "opa": 2, "B17": 3, "F18": 4, "P19": 5}
+        head, *rest = c.split(",")
+        flag = names.get(head.strip(), None)
+        if flag is None:
+            flag = int(float(head))
+        parts = [float(flag)] + [float(x) for x in rest]
         p = CloudParams(flag=flag, cloudext=parts[1], cloudtop=parts[2],
                         cloudbot=parts[3])
         extra = parts[4:]
@@ -351,8 +356,11 @@ class TransitModel:
         ex = self.line_extinction(temps_cgs, densities, Z)   # (nl, nwn)
 
         wns_cgs = jnp.asarray(self.wns.v * self.wns.fct, dtype=self.dtype)
+        # The reference feeds computeextscat the *raw* (file-unit) pressure
+        # and temperature arrays (tau.c:113-114,226), not cgs:
         e_s = scattering_extinction(
-            self._scatter_flag, self._scatter_logext, press_cgs, temps_cgs,
+            self._scatter_flag, self._scatter_logext,
+            jnp.asarray(self.atm.press, self.dtype), temps_raw,
             wns_cgs, densities, jnp.asarray(self.mol.mass, self.dtype),
             jnp.asarray(self.mol.pol, self.dtype))
 

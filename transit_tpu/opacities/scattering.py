@@ -14,7 +14,10 @@ from transit_tpu.constants import PI, E0H2, RAYEXP, MICRON, NAVOGADRO
 
 def scattering_extinction(flag: int, logext, press, temp, wns,
                           densities=None, mol_mass=None, mol_pol=None):
-    """e_s (nwn, nlayer) in cm-1.  press/temp cgs, wns cm-1."""
+    """e_s (nwn, nlayer) in cm-1.  press/temp in the atmosphere file's
+    *native* units (the reference passes tr->atm.p / tr->atm.t unscaled,
+    tau.c:113-114,226 — the unit choice is absorbed by logext), wns cm-1
+    (cgs); densities cgs."""
     wns = jnp.asarray(wns)
     nl = jnp.shape(press)[0]
     if flag == 0:

@@ -198,9 +198,11 @@ def make_sharded_forward(model, mesh: Mesh):
                                   jnp.arange(span, dtype=dtype)))
         wns_cgs = wn_local * model.wns.fct
 
+        # Raw (file-unit) p/T, as the reference feeds computeextscat
+        # (tau.c:113-114,226):
         e_s = scattering_extinction(
-            model._scatter_flag, model._scatter_logext, press_cgs,
-            temps_cgs, wns_cgs, densities, molm, mol_pol)
+            model._scatter_flag, model._scatter_logext, press_raw,
+            temps_raw, wns_cgs, densities, molm, mol_pol)
         mean_molar = jnp.sum(densities / molm[:, None] * q, axis=0)
         mean_mm = jnp.sum(molm[:, None] * q, axis=0)
         mean_dens = mean_molar * mean_mm
