@@ -93,6 +93,19 @@ def test_kepler_orbit():
     assert r > 0
 
 
+def test_orbit_params_config():
+    """gorbpar/gorbparfct parsing (argum.c:307-314, geometry.c:26-44)."""
+    from transit_tpu.config import TransitConfig
+    from transit_tpu.constants import AU, HOUR, DEGREES
+    c = TransitConfig(gorbpar="0.05,1.5,89,0.01,0,90")
+    vals, fcts = c.orbit_params()
+    assert vals == [0.05, 1.5, 89.0, 0.01, 0.0, 90.0]
+    assert fcts == [AU, HOUR, DEGREES, 1.0, DEGREES, DEGREES]
+    c2 = TransitConfig(gorbpar="0.05", gorbparfct="1.0,60.0")
+    vals2, fcts2 = c2.orbit_params()
+    assert vals2[0] == 0.05 and fcts2[0] == 1.0 and fcts2[1] == 60.0
+
+
 def test_model_setters():
     from tests.test_conformance import make_config
     from transit_tpu.model import TransitModel

@@ -40,8 +40,13 @@ def build_parser():
             p.add_argument(name, type=float, default=None)
         else:
             p.add_argument(name, type=str, default=None)
-    # Reference aliases:
+    # Reference aliases (argum.c:574-580 quiet, 127 version):
     p.add_argument("--ethresh", dest="ethreshold", type=float, default=None)
+    p.add_argument("--quiet", action="store_true", default=False,
+                   help="Set verbosity to the minimum level.")
+    from transit_tpu import __version__
+    p.add_argument("--version", action="version",
+                   version=f"transit_tpu {__version__}")
     return p
 
 
@@ -56,6 +61,8 @@ def config_from_args(argv):
             setattr(cfg, f.name, v)
     if args.ethreshold is not None:
         cfg.ethreshold = args.ethreshold
+    if args.quiet:
+        cfg.verb = 0
     return cfg, args.mode, args.bands
 
 
@@ -184,6 +191,8 @@ def write_sample_info(path, model):
 def main(argv=None):
     cfg, mode, bands = config_from_args(
         sys.argv[1:] if argv is None else argv)
+    from transit_tpu.utils.log import set_verbosity
+    set_verbosity(cfg.verb)
     from transit_tpu.model import TransitModel
 
     if cfg.justOpacity:

@@ -88,11 +88,32 @@ class TransitConfig:
     starrad: float = 1.125                # solar radii
     transparent: bool = False
     raygrid: str = "0 20 40 60 80"
+    # Orbital parameters "smaxis,time,incl,ecc,long_node,arg_per" and
+    # their unit factors (argum.c:307-314; defaults AU, hours, deg, 1,
+    # deg, deg — geometry.c:26-31).  Only starrad affects the spectrum;
+    # these feed rt/orbit.py's planet-position solution:
+    gorbpar: Optional[str] = None
+    gorbparfct: Optional[str] = None
 
     verb: int = 2
 
     def raygrid_list(self):
         return [float(a) for a in self.raygrid.split()]
+
+    def orbit_params(self):
+        """(smaxis, time, incl, ecc, long_node, arg_per) with unit factors
+        applied per gorbparfct (geometry.c:26-44)."""
+        from transit_tpu.constants import AU, DEGREES, HOUR
+        vals = [1.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+        if self.gorbpar:
+            for i, v in enumerate(self.gorbpar.split(",")):
+                vals[i] = float(v)
+        fcts = [AU, HOUR, DEGREES, 1.0, DEGREES, DEGREES]
+        if self.gorbparfct:
+            for i, v in enumerate(self.gorbparfct.split(",")):
+                if float(v) > 0:
+                    fcts[i] = float(v)
+        return vals, fcts
 
 
 _BOOL_FLAGS = {"justOpacity", "shareOpacity", "transparent", "savefiles"}
@@ -100,7 +121,8 @@ _INT_FIELDS = {"wnosamp", "ndop", "nlor", "taulevel", "modlevel", "verb"}
 _STR_FIELDS = {"atm", "linedb", "csfile", "molfile", "outspec", "outtoomuch",
                "outsample", "outintens", "qmol", "qscale", "solution",
                "raygrid", "opacityfile", "cloud", "scattering", "saveext",
-               "detailext", "detailcia", "detailtau"}
+               "detailext", "detailcia", "detailtau", "gorbpar",
+               "gorbparfct"}
 _ALIASES = {"ethresh": "ethreshold"}
 
 
