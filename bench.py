@@ -299,6 +299,58 @@ def opacity_bench():
 OPACITY_C_SECONDS = 6.75
 
 
+def gridstep_bench():
+    """Opacity-grid interpolation mode — the reference's production
+    retrieval mode ('a few seconds' per spectrum, interpolmolext
+    extinction.c:534-581): full forward step with the line extinction
+    interpolated from a precomputed [L,T,M,W] grid (built once, cached on
+    disk; byte-compatible with the reference's format)."""
+    import jax
+    import jax.numpy as jnp
+    from benchmarks.make_workload import (make, DATA, WN_LO, WN_HI,
+                                          WN_DELT, WNOSAMP)
+    from transit_tpu.config import TransitConfig
+    from transit_tpu.model import TransitModel
+
+    if not os.path.exists(os.path.join(DATA, "bench.tli")):
+        make()
+    gridfile = os.path.join(DATA, "bench_grid.bin")
+    base = dict(
+        atm=f"{DATA}/bench.atm", linedb=f"{DATA}/bench.tli",
+        csfile=f"{DATA}/bench_cia.dat", molfile=f"{DATA}/molecules.dat",
+        wnlow=WN_LO, wnhigh=WN_HI, wndelt=WN_DELT, wnosamp=WNOSAMP,
+        wnfct=1.0, nwidth=20.0, ethreshold=1e-8,
+        solution="eclipse", toomuch=1e30,
+        tlow=500.0, thigh=2900.0, tempdelt=100.0)
+    if not os.path.exists(gridfile):
+        from transit_tpu.opacities.grid import build_opacity_grid
+        bm = TransitModel(TransitConfig(**base), mode="exact",
+                          dtype=jnp.float32)
+        build_opacity_grid(bm, gridfile)
+    cfg = TransitConfig(opacityfile=gridfile, **base)
+    model = TransitModel(cfg, dtype=jnp.float32)
+    temps = jnp.asarray(model.atm.temp, dtype=model.dtype)
+    q = jnp.asarray(model.atm.q, dtype=model.dtype)
+    dt = time_steps(model.forward, temps, q, runs=50)
+    nwn, nl = model.wns.n, model.atm.nlayers
+    value = nwn * nl / dt
+    c_seconds = GRIDSTEP_C_SECONDS
+    vs = (round(value / (nwn * nl / c_seconds), 3) if c_seconds else 0.0)
+    print(json.dumps({
+        "metric": "gridmode_wn_points_x_layers_per_s",
+        "value": round(value, 1),
+        "unit": f"points*layers/s (grid-interpolation step, {nwn}wn x "
+                f"{nl}layers, 25-temp grid, f32)",
+        "vs_baseline": vs,
+    }))
+
+
+# Reference C transit in opacity-grid interpolation mode on the identical
+# files (same 25-temperature grid file), single core, -O3, median of 5
+# (measured 2026-08-20 on this machine):
+GRIDSTEP_C_SECONDS = 0.139
+
+
 if __name__ == "__main__":
     if "--transit" in sys.argv:
         transit_bench()
@@ -314,5 +366,7 @@ if __name__ == "__main__":
         wide_bench()
     elif "--opacity" in sys.argv:
         opacity_bench()
+    elif "--gridstep" in sys.argv:
+        gridstep_bench()
     else:
         main()
