@@ -316,6 +316,23 @@ def main():
                       extra="cloud ext,1e-8,-1.0,1.5\n")
     np.savez_compressed(os.path.join(GOLD, "ref_transit_cloud1.npz"), **r)
 
+    # Detail outputs (detailout, tau.c:525-605): selected-wavenumber
+    # columns of tau (vs impact parameter), extinction and CIA (vs
+    # radius):
+    ddir = "/tmp/goldrun_detail"
+    r = run_reference(cfg, ddir, "eclipse", 1e30,
+                      extra="raygrid 0 40 80\n"
+                            f"detailtau {ddir}/dtau.dat:2040.5,2070\n"
+                            f"detailext {ddir}/dext.dat:2025,2050\n"
+                            f"detailcia {ddir}/dcia.dat:2060\n")
+    det = {}
+    for k in ("dtau", "dext", "dcia"):
+        with open(f"{ddir}/{k}.dat") as f:
+            head = f.readline().split("=>")[1].split()
+        det[k + "_wn"] = np.array([float(v) for v in head])
+        det[k] = np.loadtxt(f"{ddir}/{k}.dat", skiprows=1)
+    np.savez_compressed(os.path.join(GOLD, "ref_detail.npz"), **det)
+
     # Multi-database / multi-molecule fixture:
     make_multi()
     mcfg = CFG_MULTI.format(fix=FIX)

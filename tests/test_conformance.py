@@ -180,6 +180,45 @@ class TestScatteringClouds:
                                    rtol=1e-5)
 
 
+def test_detail_outputs(tmp_path):
+    """--detailtau/--detailext/--detailcia writers vs the reference's
+    detailout (tau.c:525-605): same wavenumber binary-search selection,
+    same rows (tau vs impact parameter; extinction/CIA vs radius)."""
+    from transit_tpu.cli import write_detail
+    g = np.load(os.path.join(GOLD, "ref_detail.npz"))
+    model = TransitModel(make_config("eclipse", 1e30, raygrid="0 40 80"))
+    res = model.compute()
+
+    def ours(spec, rows_axis, arr, radfirst):
+        path = tmp_path / "d.dat"
+        write_detail(f"{path}:{spec}", res.wns, rows_axis, arr, radfirst)
+        with open(path) as f:
+            head = f.readline().split("=>")[1].split()
+        return (np.array([float(v) for v in head]),
+                np.loadtxt(path, skiprows=1))
+
+    wn_t, dt = ours("2040.5,2070", model.ips_v, np.asarray(res.tau), False)
+    np.testing.assert_allclose(wn_t, g["dtau_wn"])
+    np.testing.assert_allclose(dt, g["dtau"], rtol=1e-5)
+    wn_e, de = ours("2025,2050", model.rads_v,
+                    np.asarray(res.extinction), True)
+    np.testing.assert_allclose(wn_e, g["dext_wn"])
+    np.testing.assert_allclose(de, g["dext"], rtol=5e-5,
+                               atol=g["dext"].max() * 1e-10)
+    # detailcia: the reference passes its *double* e_cs array through
+    # detailout's CIA_DOFLOAT branch, which reinterprets the bytes as
+    # float (tau.c:337-338,539,585 — arrf = (float**)arr on a double
+    # array), so its printed values are garbage (the golden holds e.g.
+    # -4e31).  Only the wavenumber selection column is meaningful; we
+    # print the intended values:
+    wn_c, dc = ours("2060", model.rads_v, np.asarray(res.cia), False)
+    np.testing.assert_allclose(wn_c, g["dcia_wn"])
+    np.testing.assert_allclose(dc[:, 0], g["dcia"][:, 0], rtol=1e-6)
+    np.testing.assert_allclose(dc[:, 1], np.asarray(res.cia)[
+        int(np.searchsorted(res.wns, 2060.0, side="right") - 1)],
+        rtol=1e-5, atol=1e-30)
+
+
 def test_eclipse_full_oversampling():
     """wnosamp = 2160 (the demo's production value): exercises large
     profiles including the VOIGT_QUICK path (nvgt > 99999,
