@@ -42,7 +42,10 @@ def c_reference_cloud(cl, press, mean_dens, nH, wn):
     x = 2.0 * PI * cl.r * wn
     refwn = cl.refwn ** cl.gamma
     kBP = cl.cloudext * wn ** cl.gamma
-    kFH = cl.cloudext / (cl.Q * x ** (-cl.gamma) + x ** 0.2)
+    # kFH only enters flag 4; evaluating it for flag 1/2 (where r and Q
+    # default to 0) raises divide-by-zero warnings:
+    kFH = (cl.cloudext / (cl.Q * x ** (-cl.gamma) + x ** 0.2)
+           if cl.flag == 4 else 0.0)
     i = n - 1
     while i >= 0 and press[i] < cloudtop:
         i -= 1

@@ -69,8 +69,7 @@ def config_from_args(argv):
 def write_spectrum(path, wns, spec, solution):
     out = open(path, "w") if path and path != "-" else sys.stdout
     if solution == "eclipse":
-        out.write("#wvl [um]%*sFlux [erg/s/cm]\n" % (6, " ")
-                  if False else "#wvl [um]      Flux [erg/s/cm]\n")
+        out.write("#wvl [um]      Flux [erg/s/cm]\n")
         for w, s in zip(wns, spec):
             out.write(f"{1e4 / w:<15.10g}{s:<18.9g}\n")
     else:
@@ -147,12 +146,18 @@ def write_detail(spec, wns, rows_axis, arr, radfirst):
     """
     fname, wlist = spec.split(":")
     vals = [float(v) for v in wlist.split(",")]
+    n = len(wns)
     idx = []
     for v in vals:
-        # Reference binary search: largest index with wns[d] <= v
-        # (tau.c:554-569):
-        d = int(np.searchsorted(wns, v, side="right") - 1)
-        idx.append(max(d, 0))
+        # Reference binary search (tau.c:554-569): largest index with
+        # wns[d] <= v, except the top index is only reached on exact
+        # equality — a value strictly above the grid bisects to n-2:
+        if v == wns[-1]:
+            d = n - 1
+        else:
+            d = int(np.searchsorted(wns, v, side="right") - 1)
+            d = min(max(d, 0), n - 2)
+        idx.append(d)
     with open(fname, "w") as f:
         f.write("#Radius-w=>    ")
         for i in idx:

@@ -70,8 +70,6 @@ class TioSchwenkeReader(DbReader):
         raw = np.fromfile(self.dbfile, dtype=np.uint8)
         n = raw.shape[0] // 16
         rec = raw[:n * 16].reshape(n, 16)[:, :10].copy()
-        flat = rec.reshape(-1)
-        iw = flat.view(np.uint8)[:]  # keep alignment via frombuffer below
         r = np.frombuffer(rec.tobytes(),
                           dtype=np.dtype([("iw", "<i4"), ("ieli", "<i2"),
                                           ("ielo", "<i2"), ("igf", "<i2")]))

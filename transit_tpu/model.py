@@ -62,7 +62,8 @@ class TransitModel:
     def __init__(self, cfg: TransitConfig, dtype=None, mode: str = "exact",
                  use_pallas: bool = False, bands: int = 0,
                  split_far: bool = True):
-        self.cfg = cfg
+        from transit_tpu.config import validate
+        self.cfg = cfg = validate(cfg)
         self.mode = mode
         self.use_pallas = use_pallas
         self.bands = bands
@@ -90,13 +91,27 @@ class TransitModel:
         #     resamples to an equidistant grid and splines every
         #     atmospheric quantity onto it (makesample.c:483-531) ---
         self.rfct = cfg.radfct if cfg.radfct > 0 else self.atm.rfct
+        self._atm0 = None
         if cfg.raddelt == -1.0:
             self.rads_v = self.atm.radius
         else:
+            if cfg.gsurf and cfg.refpress and cfg.refradius:
+                from transit_tpu.config import ConfigError
+                raise ConfigError(
+                    "raddelt > 0 combined with hydrostatic retrieval "
+                    "(gsurf/refpress/refradius) is not supported: the "
+                    "radius grid would change every step while the "
+                    "resampling target is fixed.  Use raddelt -1 (keep "
+                    "the atmosphere grid, the reference's default).")
             ini = cfg.radlow if cfg.radlow > 0 else self.atm.radius[0]
             fin = cfg.radhigh if cfg.radhigh > 0 else self.atm.radius[-1]
             rs = grids.make_sampling(ini, fin, cfg.raddelt)
             old = self.atm.radius
+            # Original layer grid, for reloadatm-style forward() inputs
+            # (readatm.c:722-784: T/q arrive on the *atmosphere-file*
+            # layers; makeradsample re-splines onto the radius grid):
+            self._atm0 = {"radius": old.copy(),
+                          "press": self.atm.press.copy()}
             a = self.atm
             a.temp = splinterp_np(old, a.temp, rs.v)
             a.press = splinterp_np(old, a.press, rs.v)
@@ -275,6 +290,13 @@ class TransitModel:
         ext/opa/B17/F18/P19 (reference syntax) or the numeric flag 1-5."""
         c = self.cfg.cloud
         if c is None:
+            if self.cfg.cloudtop is not None:
+                # Standalone --cloudtop (argum.c CLA_CLOUDTOP, 720-726):
+                # an opaque constant-extinction deck from cloudtop down
+                # 10 dex, cloudext = 100:
+                return CloudParams(flag=1, cloudext=100.0,
+                                   cloudtop=self.cfg.cloudtop,
+                                   cloudbot=self.cfg.cloudtop + 10.0)
             return CloudParams()
         names = {"ext": 1, "opa": 2, "B17": 3, "F18": 4, "P19": 5}
         head, *rest = c.split(",")
@@ -423,7 +445,8 @@ class TransitModel:
         (transit.c:118-122 run_transit via SWIG, transit.i:103): one flat
         array [T_0..T_nl-1, q_mol0_0.., ..., q_molN_..] of length
         nlayers*(nmol+1) -> spectrum.  Jittable/differentiable."""
-        nl = self.atm.nlayers
+        nl = (len(self._atm0["radius"]) if self._atm0 is not None
+              else self.atm.nlayers)
         nmol = len(self.atm.species)
         flat_input = jnp.asarray(flat_input, dtype=self.dtype)
         temps = flat_input[:nl]
@@ -485,10 +508,27 @@ class TransitModel:
             mm = 1.0 / jnp.sum(q / molm[:, None], axis=0)
         else:
             mm = jnp.sum(q * molm[:, None], axis=0)
-        press_cgs = jnp.asarray(atm.press * atm.pfct, dtype=self.dtype)
-        rho = AMU * q * press_cgs[None, :] / KB / (temps_raw *
-                                                   atm.tfct)[None, :]
-        densities = rho * (mm[None, :] if atm.by_mass else molm[:, None])
+        if self._atm0 is not None:
+            # raddelt > 0: inputs are on the original atmosphere layers;
+            # compute densities there, then re-spline T/q/d onto the
+            # fixed resampled radius grid (reloadatm readatm.c:722-784 +
+            # makeradsample makesample.c:483-531), all in-graph:
+            from transit_tpu.numerics.spline import splinterp_jnp
+            r0 = jnp.asarray(self._atm0["radius"], dtype=self.dtype)
+            p0_cgs = jnp.asarray(self._atm0["press"] * atm.pfct,
+                                 dtype=self.dtype)
+            rho0 = AMU * q * p0_cgs[None, :] / KB / (temps_raw *
+                                                     atm.tfct)[None, :]
+            d0 = rho0 * (mm[None, :] if atm.by_mass else molm[:, None])
+            rs = jnp.asarray(self.rads_v, dtype=self.dtype)
+            temps_raw = splinterp_jnp(r0, temps_raw, rs)
+            q = jnp.stack([splinterp_jnp(r0, qi, rs) for qi in q])
+            densities = jnp.stack([splinterp_jnp(r0, di, rs) for di in d0])
+        else:
+            press_cgs = jnp.asarray(atm.press * atm.pfct, dtype=self.dtype)
+            rho = AMU * q * press_cgs[None, :] / KB / (temps_raw *
+                                                       atm.tfct)[None, :]
+            densities = rho * (mm[None, :] if atm.by_mass else molm[:, None])
 
         cfg = self.cfg
         if cfg.gsurf and cfg.refpress and cfg.refradius:
