@@ -1,0 +1,121 @@
+"""Multi-host (multi-process) band-parallel execution tests.
+
+Reference capability being replaced: the SysV shared-memory opacity
+sharing (transit/src/opacity.c:89-201) — the only multi-process feature
+of the C code.  Here N real OS processes each initialize
+jax.distributed, load only their wavenumber band of the TLI
+(io/tli.py:read_tli_band), and produce the global spectrum with two DCN
+collectives (kmax max-reduction + spectrum all-gather).  The gathered
+result must match the single-process model.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from tests.test_conformance import make_config
+from transit_tpu.model import TransitModel
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+WORKER = os.path.join(HERE, "multihost_worker.py")
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _run_workers(nproc, out, mode="exact", timeout=900):
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)          # workers set their own
+    procs = [subprocess.Popen(
+        [sys.executable, WORKER, str(i), str(nproc), str(port),
+         str(out), mode], env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for i in range(nproc)]
+    outs = []
+    for p in procs:
+        stdout, _ = p.communicate(timeout=timeout)
+        outs.append(stdout)
+    for p, stdout in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{stdout[-3000:]}"
+    return outs
+
+
+@pytest.fixture(scope="module")
+def single_process_reference():
+    cfg = make_config("eclipse", 1e30)
+    model = TransitModel(cfg, mode="fast", bands=4)
+    return np.asarray(model.compute().spectrum)
+
+
+@pytest.mark.parametrize("nproc", [2, 4])
+def test_multihost_matches_single_process(tmp_path, nproc,
+                                          single_process_reference):
+    out = tmp_path / "mh"
+    _run_workers(nproc, out)
+    ref = single_process_reference
+    counts = []
+    for pid in range(nproc):
+        d = np.load(f"{out}.p{pid}.npz")
+        # Every process holds the same gathered global spectrum:
+        np.testing.assert_allclose(d["spec"], ref, rtol=1e-10)
+        counts.append(int(d["n_local_lines"]))
+        assert d["bounds"].shape == (nproc + 1,)
+    # Blocks are line-count balanced (within 2x of each other even on the
+    # clustered fixture; bin-balanced splits would be far worse):
+    assert max(counts) <= 2 * min(counts)
+
+
+def test_multihost_local_ethresh_is_close(tmp_path,
+                                          single_process_reference):
+    """Without the kmax reduction each band drops weak lines against its
+    local maximum; deviations stay at the ethresh level."""
+    out = tmp_path / "mhl"
+    _run_workers(2, out, mode="local")
+    d = np.load(f"{out}.p0.npz")
+    np.testing.assert_allclose(d["spec"], single_process_reference,
+                               rtol=1e-5)
+
+
+def test_balanced_blocks_equalize_line_counts():
+    """Synthetic imbalanced line distribution: balanced_blocks must put
+    block boundaries where the lines are, not at equal bin counts."""
+    from transit_tpu.io import tli as tli_mod
+    from transit_tpu.parallel.multihost import balanced_blocks
+    import tempfile
+    rng = np.random.default_rng(3)
+    # 10k lines clustered in the first 10% of the window:
+    wn = np.concatenate([rng.uniform(2000, 2010, 9000),
+                         rng.uniform(2010, 2100, 1000)])
+    wl = 1.0 / wn / 1e-4
+    order = np.argsort(wl)
+    data = tli_mod.TliData(
+        version=6, iwav=wl.min(), fwav=wl.max(),
+        databases=[tli_mod.TliDatabase(
+            name="syn", molecule="CH4", temps=np.array([100.0, 300.0]),
+            isotopes=[tli_mod.TliIsotope("1", 16.0, 1.0,
+                                         np.array([1.0, 2.0]))])],
+        wl=wl[order], isoid=np.zeros(10000, np.int16),
+        elow=np.full(10000, 100.0), gf=np.full(10000, 1e-6),
+        isotran=np.array([10000], dtype=np.uint64))
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "syn.tli")
+        tli_mod.write_tli(path, data)
+        wns_v = 2000.0 + np.arange(101.0)
+        bounds = balanced_blocks(path, wns_v, 4)
+        counts = []
+        for p in range(4):
+            lo, hi = wns_v[bounds[p]], wns_v[min(bounds[p + 1], 100)]
+            counts.append(int(((wn >= lo) & (wn < hi)).sum()))
+        # Perfect balance is 2500 each; require the imbalance to be small
+        # (bin-balanced splits would give [9000+, ~300, ~300, ~300]):
+        assert max(counts) < 1.5 * 2500, counts

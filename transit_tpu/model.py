@@ -61,7 +61,18 @@ class SpectrumResult:
 class TransitModel:
     def __init__(self, cfg: TransitConfig, dtype=None, mode: str = "exact",
                  use_pallas: bool = False, bands: int = 0,
-                 split_far: bool = True):
+                 split_far: bool = True, tli=None, wn_window=None,
+                 wn_margin: float = 0.0):
+        """``tli``: preloaded TliData (e.g. a wavenumber band from
+        io.tli.read_tli_band) overriding cfg.linedb's full read.
+        ``wn_window=(b0, b1)``: restrict the model to coarse bins
+        [b0, b1) of the *global* grid — the per-process band of a
+        multi-host run (parallel/multihost.py); grid values are sliced
+        from the global fill so band spectra concatenate bit-exactly.
+        ``wn_margin`` (cm-1) widens line selection beyond the local
+        window (clipped to the global range) so boundary-line wings are
+        retained, mirroring the in-file range clip of readdatarng
+        (readlineinfo.c:435-436)."""
         from transit_tpu.config import validate
         self.cfg = cfg = validate(cfg)
         self.mode = mode
@@ -77,6 +88,24 @@ class TransitModel:
             wnlow=cfg.wnlow, wnhigh=cfg.wnhigh, wllow=cfg.wllow,
             wlhigh=cfg.wlhigh, wndelt=cfg.wndelt, wnosamp=cfg.wnosamp,
             wnfct=(cfg.wnfct if cfg.wnfct > 0 else 1.0), wlfct=cfg.wlfct)
+        self.wns_global = self.wns
+        self.wn_window = wn_window
+        self._wn_margin = wn_margin
+        if wn_window is not None:
+            b0, b1 = wn_window
+            if not (0 <= b0 < b1 <= self.wns.n):
+                raise ValueError(f"wn_window {wn_window} outside the "
+                                 f"global grid of {self.wns.n} bins")
+            v = self.wns.v
+            self.wns = grids.Sampling(
+                i=float(v[b0]), f=float(v[b1 - 1]), d=self.wns.d, o=1,
+                v=v[b0:b1].copy(), fct=self.wns.fct)
+            o = self.owns.o
+            ov = self.owns.v
+            self.owns = grids.Sampling(
+                i=float(ov[b0 * o]), f=float(ov[(b1 - 1) * o]),
+                d=self.owns.d, o=o,
+                v=ov[b0 * o:(b1 - 1) * o + 1].copy(), fct=self.owns.fct)
 
         # --- atmosphere (transit.c:49 getatm) ---
         qmol = cfg.qmol.split(",") if cfg.qmol else None
@@ -138,8 +167,11 @@ class TransitModel:
 
         # --- line list (transit.c:52 readlineinfo; skipped when an opacity
         #     grid is present, readlineinfo.c:586-603) ---
-        self.tli = (read_tli(cfg.linedb)
-                    if cfg.linedb and self.ogrid is None else None)
+        if tli is not None:
+            self.tli = tli
+        else:
+            self.tli = (read_tli(cfg.linedb)
+                        if cfg.linedb and self.ogrid is None else None)
         self._setup_isotopes()
 
         # --- line plans / profile table ---
@@ -151,8 +183,12 @@ class TransitModel:
         self.bplan = None
         self.bdev = None
         if self.tli is not None:
-            wl, isoid, elow, gf = select_lines(self.tli, self.wns.i,
-                                               self.wns.f)
+            # Band models widen the selection by wn_margin (clipped to
+            # the global range) so wings of out-of-window lines land in
+            # the edge tiles exactly as in a single-process run:
+            sel_lo = max(self.wns_global.i, self.wns.i - wn_margin)
+            sel_hi = min(self.wns_global.f, self.wns.f + wn_margin)
+            wl, isoid, elow, gf = select_lines(self.tli, sel_lo, sel_hi)
             if mode == "exact":
                 fine_dwn = self.wns.d / self.owns.o
                 self.table = build_profile_table(

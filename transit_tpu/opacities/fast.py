@@ -211,15 +211,19 @@ def fast_extinction(plan: FastPlan, d, temps, densities,
                     Z, mol_mass, mol_radius, wn_i: float, dwn: float,
                     ethresh: float, nwidth: float, line_chunk: int = 512,
                     eval_budget: int = 0, prep=None,
-                    voigt_fn=voigt_k_humlicek):
+                    voigt_fn=voigt_k_humlicek, kmax_override=None):
     """Extinction (nlayer, n_coarse) for all layers (single device).
 
     ``prep`` (from :func:`_prep_layers`) may be shared across the near/far
     subplans of a split band — it depends only on the full line list.
+    ``kmax_override`` supplies an externally-computed per-layer kmax (the
+    multi-host path reduces kmax across wavenumber bands so the ethresh
+    cutoff is globally consistent, extinction.c:400-427).
     """
     if prep is None:
         prep = _prep_layers(plan, d, temps, densities, Z, mol_mass,
-                            mol_radius, line_chunk)
+                            mol_radius, line_chunk,
+                            kmax_override=kmax_override)
     nlayer = prep["temps"].shape[0]
     if plan.class_tiles is None:
         gidx = jnp.arange(plan.ntiles, dtype=jnp.int32)
@@ -249,7 +253,7 @@ def fast_extinction(plan: FastPlan, d, temps, densities,
 
 
 def _prep_layers(plan: FastPlan, d, temps, densities, Z, mol_mass,
-                 mol_radius, line_chunk: int):
+                 mol_radius, line_chunk: int, kmax_override=None):
     """Temperature-dependent per-layer quantities shared by all tiles:
     widths (extinction.c:364-395) and the per-layer kmax line-strength scan
     (species-collapsed mode, extinction.c:400-427 with permol=0)."""
@@ -275,6 +279,22 @@ def _prep_layers(plan: FastPlan, d, temps, densities, Z, mol_mass,
     alphad_f_t = alphad_f.T
     niso = int(d["iso_mass"].shape[0])
 
+    if kmax_override is not None:
+        kmax = jnp.asarray(kmax_override, dtype=dtype)
+    else:
+        kmax = _kmax_scan(d, temps, coef_iso, line_chunk, niso, dtype)
+    return {"temps": temps, "densities": densities, "Z": Z,
+            "alphal": alphal, "alphad_f": alphad_f, "kmax": kmax,
+            "coef_iso": coef_iso, "dens_iso": dens_iso,
+            "alphal_t": alphal_t, "alphad_f_t": alphad_f_t, "niso": niso,
+            "dtype": dtype}
+
+
+def _kmax_scan(d, temps, coef_iso, line_chunk, niso, dtype):
+    """Per-layer max line strength over the full (device-local) line list
+    (the extinction.c:400-427 pass-1 scan, permol=0)."""
+    nlayer = temps.shape[0]
+
     def kmax_chunk(carry, sl):
         w, e, g, i = sl
         s = (g * jnp.exp(-EXPCTE * e / temps[:, None]) *
@@ -288,7 +308,7 @@ def _prep_layers(plan: FastPlan, d, temps, densities, Z, mol_mass,
 
     # Chunk the kmax scan so it runs <= ~16 sequential steps regardless of
     # line count (a 512-line chunk on a 1e6-line list is 2000 dispatches):
-    nlines = plan.wavn.shape[0]
+    nlines = d["all_wavn"].shape[0]
     kchunk = max(line_chunk, -(-nlines // 16))
     kchunk = -(-kchunk // 128) * 128
     npad = -(-nlines // kchunk) * kchunk
@@ -305,11 +325,22 @@ def _prep_layers(plan: FastPlan, d, temps, densities, Z, mol_mass,
     else:
         kmax, _ = jax.lax.scan(kmax_chunk, jnp.zeros(nlayer, dtype=dtype),
                                chunks)
-    return {"temps": temps, "densities": densities, "Z": Z,
-            "alphal": alphal, "alphad_f": alphad_f, "kmax": kmax,
-            "coef_iso": coef_iso, "dens_iso": dens_iso,
-            "alphal_t": alphal_t, "alphad_f_t": alphad_f_t, "niso": niso,
-            "dtype": dtype}
+    return kmax
+
+
+def line_kmax(d, temps, Z, line_chunk: int = 512):
+    """Standalone per-layer kmax for the device/process-local line list.
+
+    The multi-host path computes this per wavenumber band, max-reduces it
+    across processes (one tiny DCN collective), and feeds the global
+    result back via ``kmax_override`` so every band applies the same
+    ethresh cutoff as a single-process run (extinction.c:467-470)."""
+    dtype = d["all_wavn"].dtype
+    temps = jnp.asarray(temps, dtype=dtype)
+    Z = jnp.asarray(Z, dtype=dtype)
+    coef_iso = (SIGCTE * d["iso_ratio"] / d["iso_mass"])[:, None] / Z
+    niso = int(d["iso_mass"].shape[0])
+    return _kmax_scan(d, temps, coef_iso, line_chunk, niso, dtype)
 
 
 # Per-scan-step Voigt evaluation budget (elements of the fused
@@ -437,7 +468,8 @@ def fast_extinction_tiles(plan: FastPlan, d, temps, densities,
                           ethresh: float, nwidth: float,
                           tile0=0, ntiles: int = None,
                           line_chunk: int = 512, eval_budget: int = 0,
-                          prep=None, voigt_fn=voigt_k_humlicek):
+                          prep=None, voigt_fn=voigt_k_humlicek,
+                          kmax_override=None):
     """Extinction (nlayer, ntiles*tw) for a contiguous tile range.
 
     ``d`` holds this range's tile tensors (wavn/elow/gf/iso/mask, first dim
@@ -453,7 +485,8 @@ def fast_extinction_tiles(plan: FastPlan, d, temps, densities,
         ntiles = d["wavn"].shape[0]
     if prep is None:
         prep = _prep_layers(plan, d, temps, densities, Z, mol_mass,
-                            mol_radius, line_chunk)
+                            mol_radius, line_chunk,
+                            kmax_override=kmax_override)
     nlayer = prep["temps"].shape[0]
     gidx = tile0 + jnp.arange(ntiles, dtype=jnp.int32)
     dtiles = {k: d[k][:ntiles]
@@ -622,7 +655,8 @@ def banded_device_arrays(bplan: BandedPlan, iso, dtype=jnp.float32):
 
 def banded_extinction(bplan: BandedPlan, devs, temps, densities, Z,
                       mol_mass, mol_radius, wn_i: float, dwn: float,
-                      ethresh: float, nwidth: float, eval_budget: int = 0):
+                      ethresh: float, nwidth: float, eval_budget: int = 0,
+                      kmax_override=None):
     """Extinction (nlayer, n_coarse) via per-band plans; numerically the
     same quantity as fast_extinction (wing masks use true widths, and far
     lines take the region-II branch the full kernel would select)."""
@@ -635,12 +669,15 @@ def banded_extinction(bplan: BandedPlan, devs, temps, densities, Z,
                 mol_mass, mol_radius)
         kw = dict(wn_i=wn_i, dwn=dwn, ethresh=ethresh, nwidth=nwidth,
                   eval_budget=eval_budget)
+        kov = kmax_override[sel] if kmax_override is not None else None
         far = (bplan.far_plans[i]
                if bplan.far_plans is not None else None)
         if far is None:
-            rows.append(fast_extinction(plan, d, *args, **kw))
+            rows.append(fast_extinction(plan, d, *args,
+                                        kmax_override=kov, **kw))
             continue
-        prep = _prep_layers(plan, d, *args, line_chunk=512)
+        prep = _prep_layers(plan, d, *args, line_chunk=512,
+                            kmax_override=kov)
         ex = fast_extinction(plan, d, *args, prep=prep, **kw)
         for key, fp in zip(("farL", "farR"), far):
             if fp is None:

@@ -53,8 +53,13 @@ def _pad_tiles(model, ndev):
     return out, ntiles + npad
 
 
-def make_sharded_forward(model, mesh: Mesh):
+def make_sharded_forward(model, mesh: Mesh, external_kmax: bool = False):
     """Jitted sharded spectrum step: (temps_raw, q) -> spectrum.
+
+    With ``external_kmax`` the step takes a third argument — a per-layer
+    kmax (line-strength maximum) computed elsewhere.  The multi-host path
+    uses this to feed the cross-process-reduced kmax so every wavenumber
+    band applies the same ethresh cutoff (extinction.c:467-470).
 
     ``model`` must be a TransitModel in mode="fast" (banded or not) or one
     with a loaded opacity grid (cfg.opacityfile — the reference's
@@ -147,7 +152,7 @@ def make_sharded_forward(model, mesh: Mesh):
     kw = dict(wn_i=wn_i, dwn=dwn, ethresh=cfg.ethreshold,
               nwidth=cfg.nwidth)
 
-    def local_step(tiles, temps_raw, q):
+    def local_step(tiles, temps_raw, q, kmax_full):
         """Runs on one device: tiles holds this device's tile block(s)."""
         widx = jax.lax.axis_index("wn")
         temps_cgs = temps_raw * model.atm.tfct
@@ -172,6 +177,7 @@ def make_sharded_forward(model, mesh: Mesh):
                 sel = jnp.asarray(perm[a:b])
                 args = (temps_cgs[sel], densities[:, sel], Z[:, sel],
                         molm, mol_radius)
+                kov = kmax_full[sel] if external_kmax else None
                 prep = None
                 ex_b = 0.0
                 for p, ntl, keys, is_far in metas:
@@ -179,7 +185,8 @@ def make_sharded_forward(model, mesh: Mesh):
                                 **{k: tiles[keys[k]] for k in keys})
                     if prep is None:
                         prep = fast._prep_layers(p, ldev, *args,
-                                                 line_chunk=512)
+                                                 line_chunk=512,
+                                                 kmax_override=kov)
                     ex_b = ex_b + fast.fast_extinction_tiles(
                         p, ldev, *args, tile0=widx * ntl, ntiles=ntl,
                         prep=prep,
@@ -192,7 +199,9 @@ def make_sharded_forward(model, mesh: Mesh):
             ntl = span // plan.tw
             ex = fast.fast_extinction_tiles(
                 plan, ldev, temps_cgs, densities, Z, molm, mol_radius,
-                tile0=widx * ntl, ntiles=ntl, **kw)         # (nl, span)
+                tile0=widx * ntl, ntiles=ntl,
+                kmax_override=(kmax_full if external_kmax else None),
+                **kw)                                        # (nl, span)
 
         wn_local = (wn_i + dwn * (widx * span +
                                   jnp.arange(span, dtype=dtype)))
@@ -232,12 +241,19 @@ def make_sharded_forward(model, mesh: Mesh):
                   else {k: P("wn") for k in tile_args})
 
     fn = shard_map(local_step, mesh=mesh,
-                   in_specs=(tile_specs, P(), P()),
+                   in_specs=(tile_specs, P(), P(), P()),
                    out_specs=P("wn"), check_vma=False)
 
-    @jax.jit
-    def step(temps_raw, q):
-        spec = fn(tile_args, temps_raw, q)
-        return spec[:n_coarse]
+    if external_kmax:
+        @jax.jit
+        def step(temps_raw, q, kmax_full):
+            spec = fn(tile_args, temps_raw, q, kmax_full)
+            return spec[:n_coarse]
+    else:
+        @jax.jit
+        def step(temps_raw, q):
+            spec = fn(tile_args, temps_raw, q,
+                      jnp.zeros(nl, dtype=dtype))
+            return spec[:n_coarse]
 
     return step
