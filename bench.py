@@ -253,18 +253,24 @@ def wide_bench():
 WIDE_C_SECONDS = 130.8
 
 
-def opacity_bench():
+def opacity_bench(exact: bool = False):
     """Opacity-grid generation (the reference's 'hours' mode): build the
-    full (layer x temperature x molecule x wavenumber) grid with the
-    conformance-exact kernel; wall time includes compile (the C number
-    includes its setup too)."""
+    full (layer x temperature x molecule x wavenumber) grid; wall time
+    includes compile (the C number includes its setup too).
+
+    Default builder = build_opacity_grid_fast (permol tile kernel, true
+    per-line widths); --opacity-exact uses the conformance-exact
+    profile-table kernel (its vmapped gather graph compiles impractically
+    slowly through this environment's remote-tunnel TPU compiler — run
+    that variant on CPU)."""
     import jax
     import jax.numpy as jnp
     from benchmarks.make_workload import (make, DATA, WN_LO, WN_HI,
                                           WN_DELT, WNOSAMP)
     from transit_tpu.config import TransitConfig
     from transit_tpu.model import TransitModel
-    from transit_tpu.opacities.grid import build_opacity_grid
+    from transit_tpu.opacities.grid import (build_opacity_grid,
+                                            build_opacity_grid_fast)
 
     if not os.path.exists(os.path.join(DATA, "bench.tli")):
         make()
@@ -275,9 +281,13 @@ def opacity_bench():
         wnfct=1.0, nwidth=20.0, ethreshold=1e-8,
         solution="eclipse", toomuch=1e30,
         tlow=500.0, thigh=2900.0, tempdelt=100.0)
-    model = TransitModel(cfg, mode="exact", dtype=jnp.float32)
+    model = TransitModel(cfg, mode="exact" if exact else "fast",
+                         dtype=jnp.float32)
     t0 = time.perf_counter()
-    grid = build_opacity_grid(model)
+    if exact:
+        grid = build_opacity_grid(model)
+    else:
+        grid = build_opacity_grid_fast(model)
     dt = time.perf_counter() - t0
     L, T, M, W = grid.grid.shape
     value = L * T * W / dt
@@ -287,6 +297,7 @@ def opacity_bench():
         "metric": "opacity_grid_cells_per_s",
         "value": round(value, 1),
         "unit": f"layer*temp*wn cells/s (grid {L}x{T}x{M}x{W}, 20k lines, "
+                f"{'exact' if exact else 'fast permol'} kernel, "
                 f"incl. compile)",
         "vs_baseline": vs,
     }))
@@ -364,6 +375,8 @@ if __name__ == "__main__":
         hotjupiter_bench()
     elif "--wide" in sys.argv:
         wide_bench()
+    elif "--opacity-exact" in sys.argv:
+        opacity_bench(exact=True)
     elif "--opacity" in sys.argv:
         opacity_bench()
     elif "--gridstep" in sys.argv:

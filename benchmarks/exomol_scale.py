@@ -150,5 +150,58 @@ def main():
               f"{band.wl.shape[0]:,} lines): {dt:.2f}s", flush=True)
 
 
+def par_stream_demo(nlines=20_000_000, data_dir=DATA):
+    """HITEMP-scale .par route: write a synthetic multi-GB
+    wavenumber-sorted .par in chunks, then compile a window through the
+    streamed HitranReader (binary-search record bounds + chunked parse)
+    and report peak RSS — constant in file size.
+
+    20M records = 3.2 GB (HITEMP H2O is ~10 GB at the same layout).
+    Usage: python benchmarks/exomol_scale.py --par [--nlines N]
+    """
+    import resource
+    from transit_tpu.lineread.hitran import HitranReader
+
+    os.makedirs(data_dir, exist_ok=True)
+    path = os.path.join(data_dir, f"par_{nlines}.par")
+    if not os.path.exists(path):
+        t0 = time.time()
+        rng = np.random.default_rng(11)
+        chunk = 1_000_000
+        wn_lo, wn_hi = 500.0, 10000.0
+        edges = np.linspace(wn_lo, wn_hi, nlines // chunk + 1)
+        with open(path, "w") as f:
+            for c in range(nlines // chunk):
+                wn = np.sort(rng.uniform(edges[c], edges[c + 1], chunk))
+                el = rng.uniform(0.0, 3000.0, chunk)
+                a21 = 10.0 ** rng.uniform(-3, 1, chunk)
+                rows = [
+                    f" 61{w:12.6f}{1e-20:10.3E}{a:10.3E}0.0500"
+                    f"0.070{e:10.4f}0.75" + f"{0.0:8.6f}" + " " * 60 +
+                    "000000" + " " * 12 + " " + f"{10.0:7.1f}"
+                    f"{11.0:7.1f}"
+                    for w, e, a in zip(wn, el, a21)]
+                f.write("\n".join(rows) + "\n")
+        print(f"wrote {path} ({os.path.getsize(path)/1e9:.2f} GB) in "
+              f"{time.time()-t0:.0f}s", flush=True)
+
+    size_gb = os.path.getsize(path) / 1e9
+    rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    r = HitranReader(path)
+    t0 = time.time()
+    wl, gf, elow, isoid = r.read(1e4 / 3300.0, 1e4 / 2700.0)
+    dt = time.time() - t0
+    rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    print(f".par streamed window read: {wl.shape[0]:,} lines from a "
+          f"{size_gb:.2f} GB file in {dt:.1f}s; peak RSS {rss1:.2f} GB "
+          f"(start {rss0:.2f} GB) — constant in file size "
+          f"(chunk = {r.CHUNK_RECORDS:,} records)", flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    if "--par" in sys.argv:
+        n = (int(sys.argv[sys.argv.index("--nlines") + 1])
+             if "--nlines" in sys.argv else 20_000_000)
+        par_stream_demo(nlines=n)
+    else:
+        main()

@@ -192,3 +192,40 @@ def test_read_tli_band():
     np.testing.assert_array_equal(band.gf, full.gf[keep])
     assert band.isotran.sum() == keep.sum()
     assert len(band.databases) == len(full.databases)
+
+
+def test_hitran_streaming_chunks_match_full_read(tmp_path):
+    """The chunked binary-search reader (HITEMP-scale route,
+    driver.py:39-118 analogue) must return exactly the window's lines
+    regardless of chunk size, including inclusive boundaries."""
+    p = tmp_path / "06_stream.par"
+    wns = [2000.0 + 2.5 * i for i in range(40)]
+    with open(p, "w") as f:
+        for i, wn in enumerate(wns):
+            f.write(make_par_line(6, 1 + (i % 3), wn, 1e-20, 2.5,
+                                  100.0 + i, 11.0))
+    r = HitranReader(str(p))
+    iwl, fwl = 1e4 / 2070.0, 1e4 / 2010.0      # microns
+    wl_full, gf_full, el_full, iso_full = r.read(iwl, fwl)
+    # All chunk sizes give identical results:
+    for chunk in (1, 3, 7, 1000):
+        r.CHUNK_RECORDS = chunk
+        wl, gf, el, iso = r.read(iwl, fwl)
+        np.testing.assert_array_equal(wl, wl_full)
+        np.testing.assert_array_equal(gf, gf_full)
+        np.testing.assert_array_equal(el, el_full)
+        np.testing.assert_array_equal(iso, iso_full)
+    got_wn = np.sort(1e4 / wl_full)
+    # The window bounds go through the same wl->wn round-trip the reader
+    # applies (1/(fwl*MTC) = 2010.0000000000002 here, excluding 2010.0):
+    iwn, fwn = 1.0 / (fwl * 1e-4), 1.0 / (iwl * 1e-4)
+    expect = [w for w in wns if iwn <= w <= fwn]
+    np.testing.assert_allclose(got_wn, expect, rtol=1e-9)
+
+
+def test_hitran_streaming_empty_window(tmp_path):
+    p = tmp_path / "06_empty.par"
+    p.write_text(make_par_line(6, 1, 3030.0, 1e-20, 2.5, 100.0, 11.0))
+    r = HitranReader(str(p))
+    wl, gf, el, iso = r.read(1e4 / 5000.0, 1e4 / 4000.0)
+    assert wl.shape == (0,) and iso.dtype == np.int16

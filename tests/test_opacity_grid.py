@@ -64,3 +64,75 @@ def test_gridmode_spectrum_matches_reference(tmp_path):
                                rtol=5e-5, atol=gold["ext"].max() * 1e-10)
     np.testing.assert_allclose(np.asarray(res.spectrum), gold["spec"],
                                rtol=1e-5)
+
+
+def test_fast_build_is_permol_consistent():
+    """build_opacity_grid_fast (the production builder for the
+    reference's 'hours' workload): the per-molecule grid rows, collapsed
+    with the cell densities, must reproduce the collapsed fast kernel
+    exactly — validates the permol/unit-density plumbing independent of
+    any quantization question."""
+    import jax.numpy as jnp
+    from transit_tpu.constants import AMU, KB
+    from transit_tpu.numerics.spline import splinterp_np
+    from transit_tpu.opacities import fast
+    from transit_tpu.opacities.grid import build_opacity_grid_fast
+
+    cfg = grid_config()
+    cfg.ethreshold = 1e-30          # remove per-molecule-kmax ambiguity
+    fm = TransitModel(cfg, mode="fast")
+    ogf = build_opacity_grid_fast(fm)
+    r, t = 12, 5
+    T = float(ogf.temp[t])
+    atm = fm.atm
+    dens = (AMU * atm.q[:, r] * (atm.press[r] * atm.pfct) / KB / T)
+    dens = dens * (atm.mm[r] if atm.by_mass else np.asarray(fm.mol.mass))
+    Zc = np.array([splinterp_np(tt, zz, np.array([T]))[0]
+                   for tt, zz in fm._pf])
+    direct = np.asarray(fast.fast_extinction(
+        fm.fplan, fm.fdev, jnp.array([T]), jnp.asarray(dens[:, None]),
+        jnp.asarray(Zc[:, None]), jnp.asarray(fm.mol.mass),
+        jnp.asarray(fm.mol.radius), wn_i=fm.wns.i, dwn=fm.wns.d,
+        ethresh=1e-30, nwidth=cfg.nwidth))[0]
+    ids = list(fm.mol.ids)
+    dens_m = np.array([dens[ids.index(int(mid))] for mid in ogf.molID])
+    coll = np.einsum("mw,m->w", ogf.grid[r, t], dens_m)
+    np.testing.assert_allclose(coll, direct,
+                               atol=np.abs(direct).max() * 1e-12)
+
+
+def test_fast_build_converges_to_exact_with_table_refinement():
+    """The fast grid uses TRUE per-line widths; the exact grid carries
+    the reference's log-spaced width-table quantization.  Refining the
+    table (15x15 -> 60x60) must shrink the gap toward the fast grid —
+    the attribution that the difference is the exact path's
+    discretization, not a fast-kernel defect."""
+    from transit_tpu.opacities.grid import build_opacity_grid_fast
+
+    fm = TransitModel(grid_config(), mode="fast")
+    ogf = build_opacity_grid_fast(fm)
+
+    def l1_gap(ndop):
+        cfg = grid_config()
+        cfg.ndop = cfg.nlor = ndop
+        og = build_opacity_grid(TransitModel(cfg))
+        return np.abs(ogf.grid - og.grid).sum() / np.abs(og.grid).sum()
+
+    g15, g60 = l1_gap(15), l1_gap(60)
+    assert g60 < 0.5 * g15          # measured: 0.106 -> 0.031
+    assert g60 < 0.05
+
+
+def test_fast_build_writes_reference_format(tmp_path):
+    from transit_tpu.opacities.grid import build_opacity_grid_fast
+
+    fm = TransitModel(grid_config(), mode="fast")
+    p = str(tmp_path / "fast_grid.bin")
+    og = build_opacity_grid_fast(fm, p)
+    g2 = read_opacity_grid(p)
+    np.testing.assert_array_equal(g2.grid, og.grid)
+    # And the written grid drives the grid-interpolation mode:
+    cfg = grid_config(opacityfile=p)
+    model = TransitModel(cfg)
+    res = model.compute()
+    assert np.all(np.isfinite(np.asarray(res.spectrum)))

@@ -201,9 +201,13 @@ def main(argv=None):
     from transit_tpu.model import TransitModel
 
     if cfg.justOpacity:
-        from transit_tpu.opacities.grid import build_opacity_grid
+        from transit_tpu.opacities.grid import (build_opacity_grid,
+                                                build_opacity_grid_fast)
         model = TransitModel(cfg, mode=mode, bands=bands)
-        build_opacity_grid(model, cfg.opacityfile)
+        if mode == "fast":
+            build_opacity_grid_fast(model, cfg.opacityfile)
+        else:
+            build_opacity_grid(model, cfg.opacityfile)
         return 0
 
     model = TransitModel(cfg, mode=mode, bands=bands)

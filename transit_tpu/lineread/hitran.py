@@ -48,20 +48,61 @@ class HitranReader(DbReader):
         self.pf_source = pf_source or tips.default_source(self.molecule,
                                                           self.iso_names)
 
+    # Records per streamed chunk: 2M records x 160 B = ~320 MB resident,
+    # independent of file size (HITEMP H2O is ~10 GB):
+    CHUNK_RECORDS = 2_000_000
+
+    def _record_bounds(self, f, iwn: float, fwn: float):
+        """Binary search the (wavenumber-sorted) fixed-width records for
+        the window [iwn, fwn] — the streamed analogue of the reference's
+        in-file search (pylineread/src/driver.py:39-118)."""
+        f.seek(0, 2)
+        nrec = f.tell() // self.recsize
+
+        def wn_at(i):
+            f.seek(i * self.recsize + 3)
+            return float(f.read(12).decode("ascii"))
+
+        def lower_bound(target):
+            lo, hi = 0, nrec
+            while lo < hi:
+                mid = (lo + hi) // 2
+                if wn_at(mid) < target:
+                    lo = mid + 1
+                else:
+                    hi = mid
+            return lo
+
+        return lower_bound(iwn), lower_bound(np.nextafter(fwn, np.inf)), \
+            nrec
+
     def read(self, iwl: float, fwl: float):
+        iwn = 1.0 / (fwl * MTC)
+        fwn = 1.0 / (iwl * MTC)
+        parts = []
         with open(self.dbfile, "rb") as f:
-            raw = f.read()
+            lo, hi, _ = self._record_bounds(f, iwn, fwn)
+            for c0 in range(lo, hi, self.CHUNK_RECORDS):
+                c1 = min(c0 + self.CHUNK_RECORDS, hi)
+                f.seek(c0 * self.recsize)
+                raw = f.read((c1 - c0) * self.recsize)
+                parts.append(self._parse_records(raw, iwn, fwn))
+        if not parts:
+            z = np.zeros(0)
+            return z, z.copy(), z.copy(), np.zeros(0, np.int16)
+        wl = np.concatenate([p[0] for p in parts])
+        gf = np.concatenate([p[1] for p in parts])
+        elow = np.concatenate([p[2] for p in parts])
+        isoid = np.concatenate([p[3] for p in parts])
+        return wl, gf, elow, isoid
+
+    def _parse_records(self, raw: bytes, iwn: float, fwn: float):
         n = len(raw) // self.recsize
         rec = np.frombuffer(raw[:n * self.recsize],
                             dtype=np.uint8).reshape(n, self.recsize)
 
-        def field(lo, hi):
-            return np.array(["".join(map(chr, r)) for r in rec[:, lo:hi]])
-
         # Vectorized fixed-width float parse:
         wn = _parse_float(rec[:, 3:15])
-        iwn = 1.0 / (fwl * MTC)
-        fwn = 1.0 / (iwl * MTC)
         keep = (wn >= iwn) & (wn <= fwn)
         idx = np.where(keep)[0]
         rec = rec[idx]

@@ -211,7 +211,8 @@ def fast_extinction(plan: FastPlan, d, temps, densities,
                     Z, mol_mass, mol_radius, wn_i: float, dwn: float,
                     ethresh: float, nwidth: float, line_chunk: int = 512,
                     eval_budget: int = 0, prep=None,
-                    voigt_fn=voigt_k_humlicek, kmax_override=None):
+                    voigt_fn=voigt_k_humlicek, kmax_override=None,
+                    unit_density: bool = False):
     """Extinction (nlayer, n_coarse) for all layers (single device).
 
     ``prep`` (from :func:`_prep_layers`) may be shared across the near/far
@@ -223,7 +224,8 @@ def fast_extinction(plan: FastPlan, d, temps, densities,
     if prep is None:
         prep = _prep_layers(plan, d, temps, densities, Z, mol_mass,
                             mol_radius, line_chunk,
-                            kmax_override=kmax_override)
+                            kmax_override=kmax_override,
+                            unit_density=unit_density)
     nlayer = prep["temps"].shape[0]
     if plan.class_tiles is None:
         gidx = jnp.arange(plan.ntiles, dtype=jnp.int32)
@@ -253,10 +255,17 @@ def fast_extinction(plan: FastPlan, d, temps, densities,
 
 
 def _prep_layers(plan: FastPlan, d, temps, densities, Z, mol_mass,
-                 mol_radius, line_chunk: int, kmax_override=None):
+                 mol_radius, line_chunk: int, kmax_override=None,
+                 unit_density: bool = False):
     """Temperature-dependent per-layer quantities shared by all tiles:
     widths (extinction.c:364-395) and the per-layer kmax line-strength scan
-    (species-collapsed mode, extinction.c:400-427 with permol=0)."""
+    (species-collapsed mode, extinction.c:400-427 with permol=0).
+
+    ``unit_density`` drops the absorber-density factor from the line
+    strength (the opacity-grid permol convention, extinction.c permol=1:
+    the grid stores extinction per unit density and interpolmolext
+    multiplies the density back at run time) while widths still use the
+    real densities."""
     dtype = d["all_wavn"].dtype
     temps = jnp.asarray(temps, dtype=dtype)
     densities = jnp.asarray(densities, dtype=dtype)
@@ -274,7 +283,10 @@ def _prep_layers(plan: FastPlan, d, temps, densities, Z, mol_mass,
     # select-sum below (gathers with multi-million-element index arrays
     # are slow on TPU; niso is tiny):
     coef_iso = (SIGCTE * d["iso_ratio"] / d["iso_mass"])[:, None] / Z
-    dens_iso = densities[d["iso_imol"], :]              # (niso, nlayer)
+    if unit_density:
+        dens_iso = jnp.ones((d["iso_mass"].shape[0], nlayer), dtype=dtype)
+    else:
+        dens_iso = densities[d["iso_imol"], :]          # (niso, nlayer)
     alphal_t = alphal.T                                 # (niso, nlayer)
     alphad_f_t = alphad_f.T
     niso = int(d["iso_mass"].shape[0])

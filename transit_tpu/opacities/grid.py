@@ -159,6 +159,121 @@ def build_opacity_grid(model, path: str = None,
     return og
 
 
+def build_opacity_grid_fast(model, path: str = None,
+                            eval_budget: int = 0) -> OpacityGrid:
+    """Fast-path (permol) grid build: per-output-molecule tile plans and
+    the on-the-fly Voigt kernel over ALL (layer x temperature) cells in
+    one batched evaluation per molecule.
+
+    This is the production builder for the reference's 'hours' workload
+    (calcopacity, opacity.c:281-427; user manual: grid generation takes
+    'hours' on one core): the exact builder replays the reference's
+    profile-table gathers, which both compile slowly and run ~100x
+    slower than the dense tile kernel.  Physics difference (documented,
+    accuracy-improving, same as the fast spectrum path): true per-line
+    widths instead of the 60x60 width-quantized table, so a built grid
+    deviates from a reference-built one by the quantization error
+    (sub-percent in the mean).
+
+    The model may be in mode="fast" or "exact" — only its TLI/atmosphere
+    data are used; plans are built here per molecule.
+    """
+    from transit_tpu.constants import (SQRTLN2, LS, PI)
+    from transit_tpu.io.tli import select_lines
+    from transit_tpu.opacities import fast
+    from transit_tpu.constants import TLI_WAV_UNITS
+
+    cfg = model.cfg
+    tsamp = make_temp_sampling(cfg.tlow, cfg.thigh, cfg.tempdelt)
+    temps = tsamp.v
+    ntemp = temps.shape[0]
+    atm = model.atm
+    nl = atm.nlayers
+    nmol_out = model.iso.nmol_out
+    nwave = model.wns.n
+    dtype = model.dtype
+
+    Zg = np.stack([splinterp_np(t, z, temps) for t, z in model._pf])
+
+    seen = []
+    for mi in model.iso.imol:
+        mid = int(model.mol.ids[mi])
+        if mid not in seen:
+            seen.append(mid)
+    molID = np.array(seen, dtype=np.int32)
+
+    press_cgs = atm.press * atm.pfct
+    q, mm = atm.q, atm.mm
+
+    # All L x T cells flattened as a synthetic "layer" axis (cell-major:
+    # layer slow, temperature fast — the reference's write order):
+    tt = np.repeat(temps[None, :], nl, axis=0).reshape(-1)      # (L*T,)
+    dd = np.zeros((len(model.mol.mass), nl * ntemp))
+    for r in range(nl):
+        dens = (AMU * q[:, r][None, :] * press_cgs[r] / KB /
+                temps[:, None])                                  # (T, nm)
+        dens = dens * (mm[r] if atm.by_mass
+                       else np.asarray(model.mol.mass)[None, :])
+        dd[:, r * ntemp:(r + 1) * ntemp] = dens.T
+    zz = np.tile(Zg, (1, nl))                                    # (niso, L*T)
+
+    # Per-cell width bounds for halo sizing (extinction.c:364-395):
+    fdop = np.sqrt(2.0 * KB * tt / AMU) * float(SQRTLN2) / LS
+    flor = np.sqrt(2.0 * KB * tt / PI / AMU) / (AMU * LS)
+    aL_max = np.zeros(nl * ntemp)
+    aDf_max = np.zeros(nl * ntemp)
+    for mi in range(model.iso.mass.shape[0]):
+        aDf_max = np.maximum(aDf_max,
+                             fdop / np.sqrt(model.iso.mass[mi]))
+        al = np.zeros_like(tt)
+        for j in range(len(model.mol.mass)):
+            csd = model.mol.radius[j] + \
+                model.mol.radius[model.iso.imol[mi]]
+            al += (dd[j] / model.mol.mass[j] * csd * csd *
+                   np.sqrt(1.0 / model.iso.mass[mi] +
+                           1.0 / model.mol.mass[j]))
+        aL_max = np.maximum(aL_max, flor * al)
+
+    wl, isoid, elow, gf = select_lines(model.tli, model.wns.i,
+                                       model.wns.f)
+    wavn = 1.0 / (np.asarray(wl) * TLI_WAV_UNITS)
+    iout_of_iso = model.iso.iout
+
+    mol_mass = jnp.asarray(model.mol.mass, dtype=dtype)
+    mol_radius = jnp.asarray(model.mol.radius, dtype=dtype)
+    tt_j = jnp.asarray(tt, dtype=dtype)
+    dd_j = jnp.asarray(dd, dtype=dtype)
+    zz_j = jnp.asarray(zz, dtype=dtype)
+
+    grid = np.zeros((nl * ntemp, nmol_out, nwave))
+    for m in range(nmol_out):
+        sel = iout_of_iso[isoid] == m
+        if not np.any(sel):
+            continue
+        plan = fast.make_fast_plan(
+            wavn[sel], isoid[sel], elow[sel], gf[sel],
+            wn_i=model.wns.i, dwn=model.wns.d, n_coarse=nwave,
+            max_width=float(np.maximum(aL_max, aDf_max *
+                                       model.wns.f).max()),
+            nwidth=cfg.nwidth, classes=True,
+            aL_max=float(aL_max.max()), aDf_max=float(aDf_max.max()))
+        d = fast.fast_device_arrays(plan, model.iso, dtype=dtype)
+        fn = jax.jit(lambda t_, d_, z_, plan=plan, dev=d:
+                     fast.fast_extinction(
+                         plan, dev, t_, d_, z_, mol_mass, mol_radius,
+                         wn_i=model.wns.i, dwn=model.wns.d,
+                         ethresh=cfg.ethreshold, nwidth=cfg.nwidth,
+                         eval_budget=eval_budget, unit_density=True))
+        grid[:, m, :] = np.asarray(fn(tt_j, dd_j, zz_j))
+    grid = grid.reshape(nl, ntemp, nmol_out, nwave)
+
+    og = OpacityGrid(molID=molID, temp=temps, press=press_cgs,
+                     wns=model.wns.v.copy(), grid=grid)
+    if path:
+        write_opacity_grid(path, og)
+    return og
+
+
 def grid_extinction(og_temp, og_grid, mol_of_m, temps_cgs, densities):
     """interpolmolext (extinction.c:534-581): per-layer extinction from the
     grid, differentiable in the layer temperatures.

@@ -28,6 +28,9 @@ from transit_tpu.opacities.voigt import voigt_k_humlicek
 
 LANE = 128
 LT = 8          # layers per kernel instance
+MAX_CHUNK = 512  # lines per inner-loop step (multiple of LANE): larger
+                 # chunks amortize loop overhead and give Mosaic bigger
+                 # vector blocks to schedule
 
 
 def _kernel(wavn_ref, elow_ref, gf_ref, iso_ref, mask_ref,
@@ -38,8 +41,11 @@ def _kernel(wavn_ref, elow_ref, gf_ref, iso_ref, mask_ref,
 
     temps = temps_ref[:]                 # (LT, 1)
     kmax = kmax_ref[:]                   # (LT, 1)
-    iso_rows = jax.lax.broadcasted_iota(jnp.int32, (niso, LANE), 0)
-    nchunks = lmax // LANE
+    chunk_w = MAX_CHUNK
+    while lmax % chunk_w:
+        chunk_w -= LANE
+    iso_rows = jax.lax.broadcasted_iota(jnp.int32, (niso, chunk_w), 0)
+    nchunks = lmax // chunk_w
 
     def tile_acc(g, tile, _):
         """Extinction for one tw-bin tile: (LT, tw).  g is a static
@@ -49,8 +55,8 @@ def _kernel(wavn_ref, elow_ref, gf_ref, iso_ref, mask_ref,
         wn_col = (wn_i + dwn * (tile * tw) + dwn * bin_ids.astype(dtype))
 
         def chunk(c, a):
-            sl = pl.ds(c * LANE, LANE)
-            wv = wavn_ref[g, sl][None, :]    # (1, LANE)
+            sl = pl.ds(c * chunk_w, chunk_w)
+            wv = wavn_ref[g, sl][None, :]    # (1, chunk_w)
             el = elow_ref[g, sl][None, :]
             gf = gf_ref[g, sl][None, :]
             iso = iso_ref[g, sl][None, :]
