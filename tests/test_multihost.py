@@ -119,3 +119,33 @@ def test_balanced_blocks_equalize_line_counts():
         # Perfect balance is 2500 each; require the imbalance to be small
         # (bin-balanced splits would give [9000+, ~300, ~300, ~300]):
         assert max(counts) < 1.5 * 2500, counts
+
+
+def test_grid_mode_band_models_match_full(tmp_path):
+    """Opacity-grid (production interpolation) mode across bands: each
+    band model memmap-reads only its wavenumber columns of the grid file
+    (the shard-local load replacing the reference's SysV shm mount,
+    opacity.c:89-201) and the concatenated band spectra match the
+    full-grid model exactly (interpolation is pointwise in wavenumber)."""
+    from transit_tpu.opacities.grid import build_opacity_grid_fast
+    from transit_tpu.parallel.multihost import build_band_model
+
+    cfg = make_config("eclipse", 1e30)
+    cfg.tlow, cfg.thigh, cfg.tempdelt = 1000.0, 2000.0, 100.0
+    fm = TransitModel(cfg, mode="fast")
+    gridfile = str(tmp_path / "grid.bin")
+    build_opacity_grid_fast(fm, gridfile)
+
+    cfg.opacityfile = gridfile
+    full = TransitModel(cfg)
+    assert full.ogrid is not None
+    ref = np.asarray(full.compute().spectrum)
+
+    parts = []
+    for pid in range(3):
+        bm, blk, bounds = build_band_model(cfg, 3, pid)
+        assert bm.ogrid is not None
+        assert bm.ogrid.grid.shape[-1] == blk[1] - blk[0]
+        parts.append(np.asarray(bm.compute().spectrum))
+    got = np.concatenate(parts)
+    np.testing.assert_allclose(got, ref, rtol=1e-12)

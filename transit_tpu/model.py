@@ -158,7 +158,8 @@ class TransitModel:
         if cfg.opacityfile and _os.path.exists(cfg.opacityfile) \
                 and not cfg.justOpacity:
             from transit_tpu.opacities.grid import read_opacity_grid
-            self.ogrid = read_opacity_grid(cfg.opacityfile)
+            self.ogrid = read_opacity_grid(cfg.opacityfile,
+                                           wn_window=wn_window)
             ids = list(self.mol.ids)
             self.grid_mol_idx = np.array(
                 [ids.index(int(m)) for m in self.ogrid.molID],

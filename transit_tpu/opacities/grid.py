@@ -53,17 +53,29 @@ def write_opacity_grid(path: str, og: OpacityGrid):
         f.write(np.asarray(og.grid, dtype="<f8").tobytes())
 
 
-def read_opacity_grid(path: str) -> OpacityGrid:
+def read_opacity_grid(path: str, wn_window=None) -> OpacityGrid:
+    """Read a grid file; ``wn_window=(b0, b1)`` loads only wavenumber
+    columns [b0, b1) via memmap — the per-process band load of a
+    multi-host run (the TPU-native replacement for the reference's SysV
+    shared-memory grid distribution, opacity.c:89-201: instead of N
+    processes mapping one machine's segment, each host reads only its
+    band's bytes)."""
     with open(path, "rb") as f:
-        raw = f.read()
-    nmol, ntemp, nlayer, nwave = np.frombuffer(raw, "<i8", 4, 0)
-    off = 32
-    molID = np.frombuffer(raw, "<i4", nmol, off).copy(); off += 4 * nmol
-    temp = np.frombuffer(raw, "<f8", ntemp, off).copy(); off += 8 * ntemp
-    press = np.frombuffer(raw, "<f8", nlayer, off).copy(); off += 8 * nlayer
-    wns = np.frombuffer(raw, "<f8", nwave, off).copy(); off += 8 * nwave
-    grid = np.frombuffer(raw, "<f8", nlayer * ntemp * nmol * nwave,
-                         off).reshape(nlayer, ntemp, nmol, nwave).copy()
+        hdr = f.read(32)
+        nmol, ntemp, nlayer, nwave = np.frombuffer(hdr, "<i8", 4, 0)
+        molID = np.frombuffer(f.read(4 * nmol), "<i4").copy()
+        temp = np.frombuffer(f.read(8 * ntemp), "<f8").copy()
+        press = np.frombuffer(f.read(8 * nlayer), "<f8").copy()
+        wns = np.frombuffer(f.read(8 * nwave), "<f8").copy()
+        off = f.tell()
+    mm = np.memmap(path, dtype="<f8", mode="r", offset=off,
+                   shape=(nlayer, ntemp, nmol, nwave))
+    if wn_window is not None:
+        b0, b1 = wn_window
+        grid = np.asarray(mm[:, :, :, b0:b1])
+        wns = wns[b0:b1]
+    else:
+        grid = np.asarray(mm)
     return OpacityGrid(molID=molID, temp=temp, press=press, wns=wns,
                        grid=grid)
 
@@ -160,7 +172,8 @@ def build_opacity_grid(model, path: str = None,
 
 
 def build_opacity_grid_fast(model, path: str = None,
-                            eval_budget: int = 0) -> OpacityGrid:
+                            eval_budget: int = 0,
+                            cell_chunk: int = 256) -> OpacityGrid:
     """Fast-path (permol) grid build: per-output-molecule tile plans and
     the on-the-fly Voigt kernel over ALL (layer x temperature) cells in
     one batched evaluation per molecule.
@@ -241,11 +254,20 @@ def build_opacity_grid_fast(model, path: str = None,
 
     mol_mass = jnp.asarray(model.mol.mass, dtype=dtype)
     mol_radius = jnp.asarray(model.mol.radius, dtype=dtype)
-    tt_j = jnp.asarray(tt, dtype=dtype)
-    dd_j = jnp.asarray(dd, dtype=dtype)
-    zz_j = jnp.asarray(zz, dtype=dtype)
 
-    grid = np.zeros((nl * ntemp, nmol_out, nwave))
+    # Cells stream through the device in fixed-shape chunks: one compile
+    # per molecule, bounded per-dispatch runtime and device memory (a
+    # 2500-cell x 1e5-bin monolithic program is a multi-minute single
+    # dispatch — long enough to trip the remote worker's watchdog):
+    ncells = nl * ntemp
+    cell_chunk = int(min(max(cell_chunk, 1), ncells))
+    npad = -(-ncells // cell_chunk) * cell_chunk - ncells
+    if npad:
+        tt = np.concatenate([tt, tt[-npad:]])
+        dd = np.concatenate([dd, dd[:, -npad:]], axis=1)
+        zz = np.concatenate([zz, zz[:, -npad:]], axis=1)
+
+    grid = np.zeros((ncells, nmol_out, nwave))
     for m in range(nmol_out):
         sel = iout_of_iso[isoid] == m
         if not np.any(sel):
@@ -264,8 +286,14 @@ def build_opacity_grid_fast(model, path: str = None,
                          wn_i=model.wns.i, dwn=model.wns.d,
                          ethresh=cfg.ethreshold, nwidth=cfg.nwidth,
                          eval_budget=eval_budget, unit_density=True))
-        grid[:, m, :] = np.asarray(fn(tt_j, dd_j, zz_j))
-    grid = grid.reshape(nl, ntemp, nmol_out, nwave)
+        for c0 in range(0, ncells + npad, cell_chunk):
+            sl = slice(c0, c0 + cell_chunk)
+            out = np.asarray(fn(jnp.asarray(tt[sl], dtype),
+                                jnp.asarray(dd[:, sl], dtype),
+                                jnp.asarray(zz[:, sl], dtype)))
+            hi = min(c0 + cell_chunk, ncells)
+            grid[c0:hi, m, :] = out[:hi - c0]
+    grid = grid[:ncells].reshape(nl, ntemp, nmol_out, nwave)
 
     og = OpacityGrid(molID=molID, temp=temps, press=press_cgs,
                      wns=model.wns.v.copy(), grid=grid)

@@ -135,19 +135,31 @@ def build_band_model(cfg, num_processes: int, process_id: int,
     [b0, b1) of the global grid, with only that window's lines (+wing
     margin) loaded from the TLI.
     """
+    import os
     from transit_tpu.model import TransitModel
-    assert mode == "fast", "multi-host bands require the fast path"
+    grid_mode = bool(cfg.opacityfile and os.path.exists(cfg.opacityfile)
+                     and not cfg.justOpacity)
+    assert grid_mode or mode == "fast", \
+        "multi-host bands require the fast path (or an opacity grid)"
     wns, _ = grids.make_wn_sampling(
         wnlow=cfg.wnlow, wnhigh=cfg.wnhigh, wllow=cfg.wllow,
         wlhigh=cfg.wlhigh, wndelt=cfg.wndelt, wnosamp=cfg.wnosamp,
         wnfct=(cfg.wnfct if cfg.wnfct > 0 else 1.0), wlfct=cfg.wlfct)
     if bounds is None:
-        if balanced:
+        if balanced and not grid_mode:
             bounds = balanced_blocks(cfg.linedb, wns.v, num_processes)
         else:
+            # Grid interpolation costs the same per bin — even split:
             edges = np.linspace(0, wns.n, num_processes + 1)
             bounds = np.round(edges).astype(np.int64)
     b0, b1 = int(bounds[process_id]), int(bounds[process_id + 1])
+
+    if grid_mode:
+        # The model memmap-reads only its wavenumber band of the grid
+        # file (read_opacity_grid wn_window) — the shard-local load
+        # replacing the reference's SysV shm mount (opacity.c:89-201):
+        model = TransitModel(cfg, dtype=dtype, wn_window=(b0, b1))
+        return model, (b0, b1), np.asarray(bounds)
 
     hdr = read_tli_header(cfg.linedb)
     margin = wing_margin(cfg, hdr["databases"], wns)
@@ -186,6 +198,8 @@ class MultihostForward:
             dtype=dtype, balanced=balanced)
         ldevs = jax.local_devices()
         self.mesh = Mesh(np.asarray(ldevs), ("wn",))
+        if self.model.ogrid is not None:
+            exact_ethresh = False       # grid mode: no line kernel
         self.exact_ethresh = exact_ethresh
         self._step = make_sharded_forward(self.model, self.mesh,
                                           external_kmax=exact_ethresh)
@@ -206,7 +220,7 @@ class MultihostForward:
 
     @property
     def n_local_lines(self):
-        return self.model.tli.n_lines
+        return self.model.tli.n_lines if self.model.tli is not None else 0
 
     def local_spectrum(self, temps_raw, q):
         """This process's band of the spectrum (no DCN gather)."""
