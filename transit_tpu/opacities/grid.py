@@ -230,23 +230,6 @@ def build_opacity_grid_fast(model, path: str = None,
         dd[:, r * ntemp:(r + 1) * ntemp] = dens.T
     zz = np.tile(Zg, (1, nl))                                    # (niso, L*T)
 
-    # Per-cell width bounds for halo sizing (extinction.c:364-395):
-    fdop = np.sqrt(2.0 * KB * tt / AMU) * float(SQRTLN2) / LS
-    flor = np.sqrt(2.0 * KB * tt / PI / AMU) / (AMU * LS)
-    aL_max = np.zeros(nl * ntemp)
-    aDf_max = np.zeros(nl * ntemp)
-    for mi in range(model.iso.mass.shape[0]):
-        aDf_max = np.maximum(aDf_max,
-                             fdop / np.sqrt(model.iso.mass[mi]))
-        al = np.zeros_like(tt)
-        for j in range(len(model.mol.mass)):
-            csd = model.mol.radius[j] + \
-                model.mol.radius[model.iso.imol[mi]]
-            al += (dd[j] / model.mol.mass[j] * csd * csd *
-                   np.sqrt(1.0 / model.iso.mass[mi] +
-                           1.0 / model.mol.mass[j]))
-        aL_max = np.maximum(aL_max, flor * al)
-
     wl, isoid, elow, gf = select_lines(model.tli, model.wns.i,
                                        model.wns.f)
     wavn = 1.0 / (np.asarray(wl) * TLI_WAV_UNITS)
@@ -254,46 +237,84 @@ def build_opacity_grid_fast(model, path: str = None,
 
     mol_mass = jnp.asarray(model.mol.mass, dtype=dtype)
     mol_radius = jnp.asarray(model.mol.radius, dtype=dtype)
+    fdop = np.sqrt(2.0 * KB * tt / AMU) * float(SQRTLN2) / LS
+    flor = np.sqrt(2.0 * KB * tt / PI / AMU) / (AMU * LS)
 
-    # Cells stream through the device in fixed-shape chunks: one compile
-    # per molecule, bounded per-dispatch runtime and device memory (a
-    # 2500-cell x 1e5-bin monolithic program is a multi-minute single
-    # dispatch — long enough to trip the remote worker's watchdog):
+    # Cells are BANDED by width exactly like the spectrum path bands
+    # layers (fast.make_banded_plans): a cell at 10 bar carries a
+    # ~100x wider Lorentz halo than the median cell, and an unbanded
+    # plan makes every cell pay it (measured 1530 s for the 5M-line
+    # hj grid; banded: the same work drops with the width profile).
+    # Within a band, cells stream in fixed-shape chunks: bounded
+    # per-dispatch runtime and one compile per (molecule, band).
     ncells = nl * ntemp
-    cell_chunk = int(min(max(cell_chunk, 1), ncells))
-    npad = -(-ncells // cell_chunk) * cell_chunk - ncells
-    if npad:
-        tt = np.concatenate([tt, tt[-npad:]])
-        dd = np.concatenate([dd, dd[:, -npad:]], axis=1)
-        zz = np.concatenate([zz, zz[:, -npad:]], axis=1)
-
     grid = np.zeros((ncells, nmol_out, nwave))
+    kw = dict(wn_i=model.wns.i, dwn=model.wns.d,
+              ethresh=cfg.ethreshold, nwidth=cfg.nwidth,
+              eval_budget=eval_budget)
+
     for m in range(nmol_out):
         sel = iout_of_iso[isoid] == m
         if not np.any(sel):
             continue
-        plan = fast.make_fast_plan(
+        # Width bounds over this molecule's isotopes only:
+        aL_m = np.zeros(ncells)
+        aDf_m = np.zeros(ncells)
+        for mi in np.nonzero(iout_of_iso == m)[0]:
+            aDf_m = np.maximum(aDf_m,
+                               fdop / np.sqrt(model.iso.mass[mi]))
+            al = np.zeros_like(tt)
+            for j in range(len(model.mol.mass)):
+                csd = model.mol.radius[j] + \
+                    model.mol.radius[model.iso.imol[mi]]
+                al += (dd[j] / model.mol.mass[j] * csd * csd *
+                       np.sqrt(1.0 / model.iso.mass[mi] +
+                               1.0 / model.mol.mass[j]))
+            aL_m = np.maximum(aL_m, flor * al)
+
+        bplan = fast.make_banded_plans(
             wavn[sel], isoid[sel], elow[sel], gf[sel],
             wn_i=model.wns.i, dwn=model.wns.d, n_coarse=nwave,
-            max_width=float(np.maximum(aL_max, aDf_max *
-                                       model.wns.f).max()),
-            nwidth=cfg.nwidth, classes=True,
-            aL_max=float(aL_max.max()), aDf_max=float(aDf_max.max()))
-        d = fast.fast_device_arrays(plan, model.iso, dtype=dtype)
-        fn = jax.jit(lambda t_, d_, z_, plan=plan, dev=d:
-                     fast.fast_extinction(
-                         plan, dev, t_, d_, z_, mol_mass, mol_radius,
-                         wn_i=model.wns.i, dwn=model.wns.d,
-                         ethresh=cfg.ethreshold, nwidth=cfg.nwidth,
-                         eval_budget=eval_budget, unit_density=True))
-        for c0 in range(0, ncells + npad, cell_chunk):
-            sl = slice(c0, c0 + cell_chunk)
-            out = np.asarray(fn(jnp.asarray(tt[sl], dtype),
-                                jnp.asarray(dd[:, sl], dtype),
-                                jnp.asarray(zz[:, sl], dtype)))
-            hi = min(c0 + cell_chunk, ncells)
-            grid[c0:hi, m, :] = out[:hi - c0]
-    grid = grid[:ncells].reshape(nl, ntemp, nmol_out, nwave)
+            aL_layers=aL_m, aDf_layers=aDf_m, wn_max=model.wns.f,
+            nwidth=cfg.nwidth, max_bands=4, split_far=True)
+        devs = fast.banded_device_arrays(bplan, model.iso, dtype=dtype)
+
+        for i, (a, b) in enumerate(bplan.slices):
+            cells_b = bplan.perm[a:b]
+            plan_i, dev_i = bplan.plans[i], devs[i]
+            far = (bplan.far_plans[i]
+                   if bplan.far_plans is not None else None)
+
+            def band_fn(t_, d_, z_, plan=plan_i, dev=dev_i, far=far):
+                from transit_tpu.opacities.voigt import \
+                    voigt_k_humlicek_r2
+                prep = fast._prep_layers(plan, dev, t_, d_, z_,
+                                         mol_mass, mol_radius, 512,
+                                         unit_density=True)
+                args = (t_, d_, z_, mol_mass, mol_radius)
+                ex = fast.fast_extinction(plan, dev, *args, prep=prep,
+                                          **kw)
+                for key, fp in zip(("farL", "farR"), far or ()):
+                    if fp is not None:
+                        fd = dict(dev, **dev[key])
+                        ex = ex + fast.fast_extinction(
+                            fp, fd, *args, prep=prep,
+                            voigt_fn=voigt_k_humlicek_r2, **kw)
+                return ex
+
+            fn = jax.jit(band_fn)
+            chunk = int(min(max(cell_chunk, 1), len(cells_b)))
+            for c0 in range(0, len(cells_b), chunk):
+                idx = cells_b[c0:c0 + chunk]
+                pad = chunk - len(idx)
+                if pad:
+                    idx = np.concatenate([idx, idx[-1:].repeat(pad)])
+                out = np.asarray(fn(jnp.asarray(tt[idx], dtype),
+                                    jnp.asarray(dd[:, idx], dtype),
+                                    jnp.asarray(zz[:, idx], dtype)))
+                keep = idx[:chunk - pad] if pad else idx
+                grid[keep, m, :] = out[:len(keep)]
+    grid = grid.reshape(nl, ntemp, nmol_out, nwave)
 
     og = OpacityGrid(molID=molID, temp=temps, press=press_cgs,
                      wns=model.wns.v.copy(), grid=grid)
