@@ -27,6 +27,9 @@ import numpy as np
 HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, HERE)
 
+from transit_tpu import enable_compilation_cache  # noqa: E402
+enable_compilation_cache()
+
 BASELINE_C_POINTS_PER_S = 2000 * 100 / 0.80
 
 

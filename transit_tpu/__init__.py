@@ -17,3 +17,27 @@ def enable_double_precision():
     f32 path for production benchmarks."""
     import jax
     jax.config.update("jax_enable_x64", True)
+
+
+def enable_compilation_cache(path: str = None):
+    """Enable JAX's persistent compilation cache for transit_tpu runs.
+
+    The framework's programs are static per (config, plan shape), so every
+    process after the first reuses the compiled executables — measured
+    ~30-300 s of XLA compile per program on the remote-TPU backends drops
+    to ~0.1 s.  Called by the CLI and bench harness; set
+    TRANSIT_TPU_NO_COMPILE_CACHE=1 to opt out, TRANSIT_TPU_CACHE_DIR to
+    relocate (default ~/.cache/transit_tpu/xla).
+    """
+    import os
+    if os.environ.get("TRANSIT_TPU_NO_COMPILE_CACHE"):
+        return
+    if path is None:
+        path = os.environ.get(
+            "TRANSIT_TPU_CACHE_DIR",
+            os.path.join(os.path.expanduser("~"), ".cache", "transit_tpu",
+                         "xla"))
+    os.makedirs(path, exist_ok=True)
+    import jax
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -196,6 +196,8 @@ def write_sample_info(path, model):
 def main(argv=None):
     cfg, mode, bands = config_from_args(
         sys.argv[1:] if argv is None else argv)
+    from transit_tpu import enable_compilation_cache
+    enable_compilation_cache()
     from transit_tpu.utils.log import set_verbosity
     set_verbosity(cfg.verb)
     from transit_tpu.model import TransitModel
