@@ -33,7 +33,7 @@ enable_compilation_cache()
 BASELINE_C_POINTS_PER_S = 2000 * 100 / 0.80
 
 
-def time_steps(forward, temps, q, runs):
+def time_steps(forward, temps, q, runs, dev=None):
     """Steady-state seconds per full forward step.
 
     The ``runs`` steps (each a complete spectrum with its own temperature
@@ -42,6 +42,11 @@ def time_steps(forward, temps, q, runs):
     whose ~3.5 ms per-dispatch round-trip would otherwise dominate a
     multi-ms step (production retrieval loops likewise keep the chain of
     steps on device).
+
+    ``dev``: the model's device_tree(), passed through the jit boundary
+    as an argument so the line tensors aren't embedded as program
+    constants (which bloats the compile request and the persistent
+    compilation cache by the full line-data payload).
     """
     import jax
     import jax.numpy as jnp
@@ -49,16 +54,18 @@ def time_steps(forward, temps, q, runs):
     tstack = jnp.stack([temps + np.float32(0.01 * i) for i in range(runs)])
 
     @jax.jit
-    def scan_steps(ts, q):
+    def scan_steps(dev, ts, q):
         def body(c, tt):
-            return c, forward(tt, q)
+            out = (forward(tt, q, dev) if dev is not None
+                   else forward(tt, q))
+            return c, out
         _, out = jax.lax.scan(body, 0, ts)
         return out
 
-    out = scan_steps(tstack, q)             # compile + warmup
+    out = scan_steps(dev, tstack, q)        # compile + warmup
     out.block_until_ready()
     t0 = time.perf_counter()
-    out = scan_steps(tstack, q)
+    out = scan_steps(dev, tstack, q)
     out.block_until_ready()
     return (time.perf_counter() - t0) / runs
 
@@ -90,7 +97,8 @@ def main():
     temps = jnp.asarray(model.atm.temp, dtype=model.dtype)
     q = jnp.asarray(model.atm.q, dtype=model.dtype)
 
-    dt = time_steps(model.forward, temps, q, runs=20)
+    dt = time_steps(model.forward, temps, q, runs=20,
+                    dev=model.device_tree())
 
     nwn = model.wns.n
     nl = model.atm.nlayers
@@ -116,8 +124,9 @@ def retrieval_bench(batch=64):
     q0 = jnp.asarray(model.atm.q, dtype=model.dtype)
     temps = jnp.stack([t0v + 0.5 * i for i in range(batch)])
     qs = jnp.stack([q0] * batch)
-    batched = jax.vmap(model.forward)
-    dt = time_steps(batched, temps, qs, runs=3)
+    batched = jax.vmap(model.forward, in_axes=(0, 0, None))
+    dt = time_steps(batched, temps, qs, runs=3,
+                    dev=model.device_tree())
     value = batch / dt
     print(json.dumps({
         "metric": "retrieval_spectra_per_s",
@@ -152,7 +161,8 @@ def transit_bench():
     model = TransitModel(cfg, dtype=jnp.float32, mode="fast", bands=6)
     temps = jnp.asarray(model.atm.temp, dtype=model.dtype)
     q = jnp.asarray(model.atm.q, dtype=model.dtype)
-    dt = time_steps(model.forward, temps, q, runs=20)
+    dt = time_steps(model.forward, temps, q, runs=20,
+                    dev=model.device_tree())
     nwn, nl = model.wns.n, model.atm.nlayers
     value = nwn * nl / dt
     c_seconds = TRANSIT_C_SECONDS
@@ -194,7 +204,8 @@ def hotjupiter_bench():
     model = TransitModel(cfg, dtype=jnp.float32, mode="fast", bands=6)
     temps = jnp.asarray(model.atm.temp, dtype=model.dtype)
     q = jnp.asarray(model.atm.q, dtype=model.dtype)
-    dt = time_steps(model.forward, temps, q, runs=5)
+    dt = time_steps(model.forward, temps, q, runs=5,
+                    dev=model.device_tree())
     nwn, nl = model.wns.n, model.atm.nlayers
     value = nwn * nl / dt
     # Reference C on the same files (hj_ref.cfg): measured wall time,
@@ -237,7 +248,8 @@ def wide_bench():
     model = TransitModel(cfg, dtype=jnp.float32, mode="fast", bands=6)
     temps = jnp.asarray(model.atm.temp, dtype=model.dtype)
     q = jnp.asarray(model.atm.q, dtype=model.dtype)
-    dt = time_steps(model.forward, temps, q, runs=2)
+    dt = time_steps(model.forward, temps, q, runs=2,
+                    dev=model.device_tree())
     nwn, nl = model.wns.n, model.atm.nlayers
     value = nwn * nl / dt
     c_seconds = WIDE_C_SECONDS
@@ -345,7 +357,8 @@ def gridstep_bench():
     model = TransitModel(cfg, dtype=jnp.float32)
     temps = jnp.asarray(model.atm.temp, dtype=model.dtype)
     q = jnp.asarray(model.atm.q, dtype=model.dtype)
-    dt = time_steps(model.forward, temps, q, runs=50)
+    dt = time_steps(model.forward, temps, q, runs=50,
+                    dev=model.device_tree())
     nwn, nl = model.wns.n, model.atm.nlayers
     value = nwn * nl / dt
     c_seconds = GRIDSTEP_C_SECONDS

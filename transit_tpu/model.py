@@ -353,8 +353,31 @@ class TransitModel:
         return p
 
     # ------------------------------------------------------------------
-    def line_extinction(self, temps_cgs, densities, Z):
-        """Per-layer line extinction (nlayer, nwn)."""
+    def device_tree(self):
+        """The (potentially large) device arrays the spectrum step reads:
+        line tile tensors or the opacity grid.  Pass this through
+        ``forward(..., dev=...)`` from inside your own jit so the arrays
+        ride as *arguments* — closure-captured device arrays become
+        literal constants in the compiled program, which bloats compile
+        requests and persistent-cache entries by the full line-data
+        payload (hundreds of MB for real line lists)."""
+        if self.ogrid is not None:
+            return self._ogrid_dev
+        if self.bands > 0 and getattr(self, "bplan", None) is not None:
+            return self.bdev
+        return self.fdev
+
+    def make_forward(self):
+        """Jitted ``(temps_raw, q) -> spectrum`` with the line tensors
+        bound as arguments (see device_tree)."""
+        jfn = jax.jit(lambda dev, t, q: self.forward(t, q, dev=dev))
+        dev = self.device_tree()
+        return lambda t, q: jfn(dev, t, q)
+
+    def line_extinction(self, temps_cgs, densities, Z, dev=None):
+        """Per-layer line extinction (nlayer, nwn).  ``dev`` overrides
+        the model's stored device arrays (device_tree) so jitted callers
+        can pass them as arguments instead of closure constants."""
         nl = jnp.shape(temps_cgs)[0]
         # Extinction checkpoint (tau.c:155-156, extinction.c:96-137):
         if self.cfg.saveext:
@@ -365,8 +388,9 @@ class TransitModel:
                 return jnp.asarray(cached[0], dtype=self.dtype)
         if self.ogrid is not None:
             from transit_tpu.opacities.grid import grid_extinction
+            og = dev if dev is not None else self._ogrid_dev
             return grid_extinction(
-                jnp.asarray(self.ogrid.temp, self.dtype), self._ogrid_dev,
+                jnp.asarray(self.ogrid.temp, self.dtype), og,
                 jnp.asarray(self.grid_mol_idx), temps_cgs, densities)
         mol_mass = jnp.asarray(self.mol.mass, dtype=self.dtype)
         mol_radius = jnp.asarray(self.mol.radius, dtype=self.dtype)
@@ -374,17 +398,18 @@ class TransitModel:
             kw = dict(wn_i=self.wns.i, dwn=self.wns.d,
                       ethresh=self.cfg.ethreshold, nwidth=self.cfg.nwidth)
             if self.bands > 0 and getattr(self, "bplan", None) is not None:
-                return fast.banded_extinction(self.bplan, self.bdev,
-                                              temps_cgs, densities, Z,
-                                              mol_mass, mol_radius, **kw)
+                return fast.banded_extinction(
+                    self.bplan, dev if dev is not None else self.bdev,
+                    temps_cgs, densities, Z, mol_mass, mol_radius, **kw)
             if self.fplan is None:
                 return jnp.zeros((nl, self.wns.n), dtype=self.dtype)
+            fdev = dev if dev is not None else self.fdev
             if self.use_pallas:
                 from transit_tpu.opacities.pallas_lbl import pallas_extinction
-                return pallas_extinction(self.fplan, self.fdev, temps_cgs,
+                return pallas_extinction(self.fplan, fdev, temps_cgs,
                                          densities, Z, mol_mass, mol_radius,
                                          **kw)
-            return fast.fast_extinction(self.fplan, self.fdev, temps_cgs,
+            return fast.fast_extinction(self.fplan, fdev, temps_cgs,
                                         densities, Z, mol_mass, mol_radius,
                                         **kw)
         if self.plan is None or self.plan.n_lines == 0:
@@ -404,7 +429,7 @@ class TransitModel:
 
     # ------------------------------------------------------------------
     def _spectrum(self, temps_raw, q, densities, radii, W, Wmod,
-                  full_result: bool):
+                  full_result: bool, dev=None):
         """Shared spectrum core; all array args may be traced."""
         atm = self.atm
         nl = atm.nlayers
@@ -412,7 +437,8 @@ class TransitModel:
         press_cgs = jnp.asarray(atm.press * atm.pfct, dtype=self.dtype)
         Z = self.partition_jnp(temps_raw)
 
-        ex = self.line_extinction(temps_cgs, densities, Z)   # (nl, nwn)
+        ex = self.line_extinction(temps_cgs, densities, Z,
+                                  dev=dev)                   # (nl, nwn)
 
         wns_cgs = jnp.asarray(self.wns.v * self.wns.fct, dtype=self.dtype)
         # The reference feeds computeextscat the *raw* (file-unit) pressure
@@ -528,13 +554,16 @@ class TransitModel:
                 save_extinction(self.cfg.saveext, np.asarray(res.extinction))
         return res
 
-    def forward(self, temps_raw, q):
+    def forward(self, temps_raw, q, dev=None):
         """Differentiable retrieval step: new T/q profiles -> spectrum.
 
         Reproduces reloadatm (readatm.c:722-784): mean molecular mass,
         ideal-gas densities, hydrostatic radii (when gsurf/refpress/
         refradius are configured), re-derived path weights, then the full
-        spectrum.  Jit/grad/vmap-able.
+        spectrum.  Jit/grad/vmap-able.  ``dev`` optionally supplies the
+        line/grid device arrays as traced arguments (see device_tree /
+        make_forward) so jitted callers avoid embedding them as program
+        constants.
         """
         atm = self.atm
         temps_raw = jnp.asarray(temps_raw, dtype=self.dtype)
@@ -585,4 +614,4 @@ class TransitModel:
                     if self.Wmod is not None else None)
 
         return self._spectrum(temps_raw, q, densities, radii, W, Wmod,
-                              full_result=False)
+                              full_result=False, dev=dev)

@@ -285,7 +285,13 @@ def build_opacity_grid_fast(model, path: str = None,
             far = (bplan.far_plans[i]
                    if bplan.far_plans is not None else None)
 
-            def band_fn(t_, d_, z_, plan=plan_i, dev=dev_i, far=far):
+            # The line tensors are jit ARGUMENTS, not closure captures:
+            # captured device arrays become literal constants in the HLO,
+            # which (through this environment's remote compiler) bloats
+            # the compile request and the persistent-cache entries by the
+            # full line-tensor payload (measured: 39 programs = 2.5 GB of
+            # cache; one request exceeded the tunnel's size limit).
+            def band_fn(dev, t_, d_, z_, plan=plan_i, far=far):
                 from transit_tpu.opacities.voigt import \
                     voigt_k_humlicek_r2
                 prep = fast._prep_layers(plan, dev, t_, d_, z_,
@@ -302,18 +308,31 @@ def build_opacity_grid_fast(model, path: str = None,
                             voigt_fn=voigt_k_humlicek_r2, **kw)
                 return ex
 
-            fn = jax.jit(band_fn)
+            jfn = jax.jit(band_fn)
+            fn = lambda t_, d_, z_, jfn=jfn, dev=dev_i: jfn(dev, t_, d_,
+                                                           z_)
             chunk = int(min(max(cell_chunk, 1), len(cells_b)))
+            # Device->host copies are queued asynchronously so the ~GB of
+            # grid rows stream back overlapped with the next chunks'
+            # compute (a serial np.asarray per chunk adds minutes through
+            # a tunneled device):
+            pending = []
             for c0 in range(0, len(cells_b), chunk):
                 idx = cells_b[c0:c0 + chunk]
                 pad = chunk - len(idx)
                 if pad:
                     idx = np.concatenate([idx, idx[-1:].repeat(pad)])
-                out = np.asarray(fn(jnp.asarray(tt[idx], dtype),
-                                    jnp.asarray(dd[:, idx], dtype),
-                                    jnp.asarray(zz[:, idx], dtype)))
+                out = fn(jnp.asarray(tt[idx], dtype),
+                         jnp.asarray(dd[:, idx], dtype),
+                         jnp.asarray(zz[:, idx], dtype))
+                try:
+                    out.copy_to_host_async()
+                except Exception:
+                    pass
                 keep = idx[:chunk - pad] if pad else idx
-                grid[keep, m, :] = out[:len(keep)]
+                pending.append((keep, out))
+            for keep, out in pending:
+                grid[keep, m, :] = np.asarray(out)[:len(keep)]
     grid = grid.reshape(nl, ntemp, nmol_out, nwave)
 
     og = OpacityGrid(molID=molID, temp=temps, press=press_cgs,

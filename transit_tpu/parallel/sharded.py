@@ -244,16 +244,24 @@ def make_sharded_forward(model, mesh: Mesh, external_kmax: bool = False):
                    in_specs=(tile_specs, P(), P(), P()),
                    out_specs=P("wn"), check_vma=False)
 
+    # tile_args ride as jit ARGUMENTS (closure-captured device arrays
+    # become literal constants in the HLO, bloating compile requests and
+    # persistent-cache entries by the full line-tensor payload):
     if external_kmax:
         @jax.jit
-        def step(temps_raw, q, kmax_full):
-            spec = fn(tile_args, temps_raw, q, kmax_full)
+        def step_impl(targs, temps_raw, q, kmax_full):
+            spec = fn(targs, temps_raw, q, kmax_full)
             return spec[:n_coarse]
+
+        def step(temps_raw, q, kmax_full):
+            return step_impl(tile_args, temps_raw, q, kmax_full)
     else:
         @jax.jit
-        def step(temps_raw, q):
-            spec = fn(tile_args, temps_raw, q,
-                      jnp.zeros(nl, dtype=dtype))
+        def step_impl(targs, temps_raw, q):
+            spec = fn(targs, temps_raw, q, jnp.zeros(nl, dtype=dtype))
             return spec[:n_coarse]
+
+        def step(temps_raw, q):
+            return step_impl(tile_args, temps_raw, q)
 
     return step
