@@ -312,27 +312,21 @@ def build_opacity_grid_fast(model, path: str = None,
             fn = lambda t_, d_, z_, jfn=jfn, dev=dev_i: jfn(dev, t_, d_,
                                                            z_)
             chunk = int(min(max(cell_chunk, 1), len(cells_b)))
-            # Device->host copies are queued asynchronously so the ~GB of
-            # grid rows stream back overlapped with the next chunks'
-            # compute (a serial np.asarray per chunk adds minutes through
-            # a tunneled device):
-            pending = []
+            # NOTE: downloads stay serial (np.asarray per chunk) — an
+            # async-copy variant (copy_to_host_async + deferred collect)
+            # measured 3x SLOWER end-to-end on this backend (2170 s vs
+            # 731 s for the 5M-line hj grid); queued host copies through
+            # the tunneled device serialize pathologically.
             for c0 in range(0, len(cells_b), chunk):
                 idx = cells_b[c0:c0 + chunk]
                 pad = chunk - len(idx)
                 if pad:
                     idx = np.concatenate([idx, idx[-1:].repeat(pad)])
-                out = fn(jnp.asarray(tt[idx], dtype),
-                         jnp.asarray(dd[:, idx], dtype),
-                         jnp.asarray(zz[:, idx], dtype))
-                try:
-                    out.copy_to_host_async()
-                except Exception:
-                    pass
+                out = np.asarray(fn(jnp.asarray(tt[idx], dtype),
+                                    jnp.asarray(dd[:, idx], dtype),
+                                    jnp.asarray(zz[:, idx], dtype)))
                 keep = idx[:chunk - pad] if pad else idx
-                pending.append((keep, out))
-            for keep, out in pending:
-                grid[keep, m, :] = np.asarray(out)[:len(keep)]
+                grid[keep, m, :] = out[:len(keep)]
     grid = grid.reshape(nl, ntemp, nmol_out, nwave)
 
     og = OpacityGrid(molID=molID, temp=temps, press=press_cgs,

@@ -28,9 +28,11 @@ from transit_tpu.opacities.voigt import voigt_k_humlicek
 
 LANE = 128
 LT = 8          # layers per kernel instance
-MAX_CHUNK = 512  # lines per inner-loop step (multiple of LANE): larger
-                 # chunks amortize loop overhead and give Mosaic bigger
-                 # vector blocks to schedule
+# Lines per inner-loop step.  KEEP AT 128: a 512-lane variant was tried
+# (round 3) and was both ~1.5x slower AND numerically wrong when
+# compiled (Mosaic miscompiles the wider dynamic-slice loads; interpret
+# mode agreed, hardware did not) — see benchmarks/RESULTS.md.
+MAX_CHUNK = LANE
 
 
 def _kernel(wavn_ref, elow_ref, gf_ref, iso_ref, mask_ref,
