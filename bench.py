@@ -60,13 +60,22 @@ def time_steps(forward, temps, q, runs, dev=None):
                    else forward(tt, q))
             return c, out
         _, out = jax.lax.scan(body, 0, ts)
-        return out
+        # Scalar result: the host read that fences the timing then moves
+        # 4 bytes, not runs x nwn spectra (tunnel transfers would
+        # otherwise inflate a multi-ms step by ~10%):
+        return jnp.sum(out)
 
-    out = scan_steps(dev, tstack, q)        # compile + warmup
-    out.block_until_ready()
+    # Warm up twice and synchronize by MATERIALIZING the result: on this
+    # environment's tunneled backend, block_until_ready() can return
+    # before execution when large argument buffers are first staged
+    # (measured: a "0.5 ms" blocked call whose np.asarray then waited
+    # 154 s), so only a host read is a trustworthy fence.  The second
+    # warmup absorbs the one-time argument-staging cost.
+    np.asarray(scan_steps(dev, tstack, q))  # compile + warmup
+    np.asarray(scan_steps(dev, tstack, q))  # absorb arg staging
     t0 = time.perf_counter()
     out = scan_steps(dev, tstack, q)
-    out.block_until_ready()
+    np.asarray(out)
     return (time.perf_counter() - t0) / runs
 
 
