@@ -273,3 +273,19 @@ def test_banded_matches_unbanded():
     # gradients flow through the banded path:
     g = jax.grad(lambda tt: jnp.sum(mb.forward(tt, q)))(t)
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_make_forward_and_device_tree():
+    """make_forward binds the line tensors as jit ARGUMENTS (device_tree)
+    instead of closure constants and must reproduce forward exactly."""
+    cfg = make_config("eclipse", 1e30)
+    for kw in (dict(mode="fast"), dict(mode="fast", bands=4)):
+        m = TransitModel(cfg, **kw)
+        t = jnp.asarray(m.atm.temp, m.dtype)
+        q = jnp.asarray(m.atm.q, m.dtype)
+        a = np.asarray(m.forward(t, q))
+        b = np.asarray(m.make_forward()(t, q))
+        np.testing.assert_allclose(b, a, rtol=1e-12)
+        c = np.asarray(jax.jit(lambda dev, tt, qq: m.forward(tt, qq, dev))(
+            m.device_tree(), t, q))
+        np.testing.assert_allclose(c, a, rtol=1e-12)
