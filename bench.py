@@ -33,8 +33,12 @@ enable_compilation_cache()
 BASELINE_C_POINTS_PER_S = 2000 * 100 / 0.80
 
 
-def time_steps(forward, temps, q, runs, dev=None):
-    """Steady-state seconds per full forward step.
+def time_steps(forward, temps, q, runs, dev=None, windows=7):
+    """Steady-state seconds per full forward step: the MEDIAN over
+    ``windows`` independently timed windows of ``runs`` steps each, with
+    the IQR as the dispersion estimate (a single-window number on a
+    tunneled backend was seen to scatter +-10% round-to-round).
+    Returns (dt_median, dt_iqr, windows).
 
     The ``runs`` steps (each a complete spectrum with its own temperature
     profile) run as one device program via lax.scan, so the measurement is
@@ -73,10 +77,25 @@ def time_steps(forward, temps, q, runs, dev=None):
     # warmup absorbs the one-time argument-staging cost.
     np.asarray(scan_steps(dev, tstack, q))  # compile + warmup
     np.asarray(scan_steps(dev, tstack, q))  # absorb arg staging
-    t0 = time.perf_counter()
-    out = scan_steps(dev, tstack, q)
-    np.asarray(out)
-    return (time.perf_counter() - t0) / runs
+    dts = []
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        out = scan_steps(dev, tstack, q)
+        np.asarray(out)
+        dts.append((time.perf_counter() - t0) / runs)
+    dts = np.asarray(dts)
+    q25, q75 = np.percentile(dts, [25, 75])
+    return float(np.median(dts)), float(q75 - q25), windows
+
+
+def emit(metric, value, unit, vs, dt, dt_iqr, nwin):
+    """One benchmark JSON line, with the dispersion of the timing windows
+    (median-of-n with IQR; see time_steps)."""
+    print(json.dumps({
+        "metric": metric, "value": value, "unit": unit,
+        "vs_baseline": vs, "n_windows": nwin,
+        "iqr_pct": round(100.0 * dt_iqr / dt, 2),
+    }))
 
 
 def _model():
@@ -106,19 +125,16 @@ def main():
     temps = jnp.asarray(model.atm.temp, dtype=model.dtype)
     q = jnp.asarray(model.atm.q, dtype=model.dtype)
 
-    dt = time_steps(model.forward, temps, q, runs=20,
-                    dev=model.device_tree())
+    dt, dt_iqr, nwin = time_steps(model.forward, temps, q, runs=20,
+                                  dev=model.device_tree())
 
     nwn = model.wns.n
     nl = model.atm.nlayers
     value = nwn * nl / dt
-    print(json.dumps({
-        "metric": "wn_points_x_layers_per_s",
-        "value": round(value, 1),
-        "unit": f"points*layers/s (full step, {nwn}wn x {nl}layers, "
-                f"20k lines, f32, 20-step scan)",
-        "vs_baseline": round(value / BASELINE_C_POINTS_PER_S, 3),
-    }))
+    emit("wn_points_x_layers_per_s", round(value, 1),
+         f"points*layers/s (full step, {nwn}wn x {nl}layers, "
+         f"20k lines, f32, median of {nwin} 20-step scans)",
+         round(value / BASELINE_C_POINTS_PER_S, 3), dt, dt_iqr, nwin)
 
 
 def retrieval_bench(batch=64):
@@ -134,16 +150,13 @@ def retrieval_bench(batch=64):
     temps = jnp.stack([t0v + 0.5 * i for i in range(batch)])
     qs = jnp.stack([q0] * batch)
     batched = jax.vmap(model.forward, in_axes=(0, 0, None))
-    dt = time_steps(batched, temps, qs, runs=3,
-                    dev=model.device_tree())
+    dt, dt_iqr, nwin = time_steps(batched, temps, qs, runs=3,
+                                  dev=model.device_tree())
     value = batch / dt
-    print(json.dumps({
-        "metric": "retrieval_spectra_per_s",
-        "value": round(value, 2),
-        "unit": f"spectra/s (vmap batch {batch}, {model.wns.n}wn x "
-                f"{model.atm.nlayers}layers, f32)",
-        "vs_baseline": round(value / (1.0 / 0.80), 3),
-    }))
+    emit("retrieval_spectra_per_s", round(value, 2),
+         f"spectra/s (vmap batch {batch}, {model.wns.n}wn x "
+         f"{model.atm.nlayers}layers, f32)",
+         round(value / (1.0 / 0.80), 3), dt, dt_iqr, nwin)
 
 
 def transit_bench():
@@ -170,19 +183,16 @@ def transit_bench():
     model = TransitModel(cfg, dtype=jnp.float32, mode="fast", bands=6)
     temps = jnp.asarray(model.atm.temp, dtype=model.dtype)
     q = jnp.asarray(model.atm.q, dtype=model.dtype)
-    dt = time_steps(model.forward, temps, q, runs=20,
-                    dev=model.device_tree())
+    dt, dt_iqr, nwin = time_steps(model.forward, temps, q, runs=20,
+                                  dev=model.device_tree())
     nwn, nl = model.wns.n, model.atm.nlayers
     value = nwn * nl / dt
     c_seconds = TRANSIT_C_SECONDS
     vs = (round(value / (nwn * nl / c_seconds), 3) if c_seconds else 0.0)
-    print(json.dumps({
-        "metric": "transmission_wn_points_x_layers_per_s",
-        "value": round(value, 1),
-        "unit": f"points*layers/s (transit geometry, {nwn}wn x "
-                f"{nl}layers, 20k lines, 2 CIA, f32)",
-        "vs_baseline": vs,
-    }))
+    emit("transmission_wn_points_x_layers_per_s", round(value, 1),
+         f"points*layers/s (transit geometry, {nwn}wn x "
+         f"{nl}layers, 20k lines, 2 CIA, f32)",
+         vs, dt, dt_iqr, nwin)
 
 
 # Reference C transit (solution transit, toomuch 20, both CIA files) on
@@ -213,21 +223,18 @@ def hotjupiter_bench():
     model = TransitModel(cfg, dtype=jnp.float32, mode="fast", bands=6)
     temps = jnp.asarray(model.atm.temp, dtype=model.dtype)
     q = jnp.asarray(model.atm.q, dtype=model.dtype)
-    dt = time_steps(model.forward, temps, q, runs=5,
-                    dev=model.device_tree())
+    dt, dt_iqr, nwin = time_steps(model.forward, temps, q, runs=5,
+                                  dev=model.device_tree())
     nwn, nl = model.wns.n, model.atm.nlayers
     value = nwn * nl / dt
     # Reference C on the same files (hj_ref.cfg): measured wall time,
     # single core (see benchmarks/RESULTS.md):
     c_seconds = HOTJUPITER_C_SECONDS
     vs = (round(value / (nwn * nl / c_seconds), 3) if c_seconds else 0.0)
-    print(json.dumps({
-        "metric": "hotjupiter_wn_points_x_layers_per_s",
-        "value": round(value, 1),
-        "unit": f"points*layers/s (full step, {nwn}wn x {nl}layers, "
-                f"200k lines, 4 molecules, f32)",
-        "vs_baseline": vs,
-    }))
+    emit("hotjupiter_wn_points_x_layers_per_s", round(value, 1),
+         f"points*layers/s (full step, {nwn}wn x {nl}layers, "
+         f"200k lines, 4 molecules, f32)",
+         vs, dt, dt_iqr, nwin)
 
 
 # Reference C transit on the identical hot-Jupiter files (hj_ref.cfg),
@@ -257,19 +264,16 @@ def wide_bench():
     model = TransitModel(cfg, dtype=jnp.float32, mode="fast", bands=6)
     temps = jnp.asarray(model.atm.temp, dtype=model.dtype)
     q = jnp.asarray(model.atm.q, dtype=model.dtype)
-    dt = time_steps(model.forward, temps, q, runs=2,
-                    dev=model.device_tree())
+    dt, dt_iqr, nwin = time_steps(model.forward, temps, q, runs=2,
+                                  dev=model.device_tree(), windows=5)
     nwn, nl = model.wns.n, model.atm.nlayers
     value = nwn * nl / dt
     c_seconds = WIDE_C_SECONDS
     vs = (round(value / (nwn * nl / c_seconds), 3) if c_seconds else 0.0)
-    print(json.dumps({
-        "metric": "wide_wn_points_x_layers_per_s",
-        "value": round(value, 1),
-        "unit": f"points*layers/s (full step, {nwn}wn x {nl}layers, "
-                f"1e6 lines, 4 molecules, f32)",
-        "vs_baseline": vs,
-    }))
+    emit("wide_wn_points_x_layers_per_s", round(value, 1),
+         f"points*layers/s (full step, {nwn}wn x {nl}layers, "
+         f"1e6 lines, 4 molecules, f32)",
+         vs, dt, dt_iqr, nwin)
 
 
 # Reference C transit on the identical wide files (hj_ref.cfg in
@@ -366,19 +370,16 @@ def gridstep_bench():
     model = TransitModel(cfg, dtype=jnp.float32)
     temps = jnp.asarray(model.atm.temp, dtype=model.dtype)
     q = jnp.asarray(model.atm.q, dtype=model.dtype)
-    dt = time_steps(model.forward, temps, q, runs=50,
-                    dev=model.device_tree())
+    dt, dt_iqr, nwin = time_steps(model.forward, temps, q, runs=50,
+                                  dev=model.device_tree())
     nwn, nl = model.wns.n, model.atm.nlayers
     value = nwn * nl / dt
     c_seconds = GRIDSTEP_C_SECONDS
     vs = (round(value / (nwn * nl / c_seconds), 3) if c_seconds else 0.0)
-    print(json.dumps({
-        "metric": "gridmode_wn_points_x_layers_per_s",
-        "value": round(value, 1),
-        "unit": f"points*layers/s (grid-interpolation step, {nwn}wn x "
-                f"{nl}layers, 25-temp grid, f32)",
-        "vs_baseline": vs,
-    }))
+    emit("gridmode_wn_points_x_layers_per_s", round(value, 1),
+         f"points*layers/s (grid-interpolation step, {nwn}wn x "
+         f"{nl}layers, 25-temp grid, f32)",
+         vs, dt, dt_iqr, nwin)
 
 
 # Reference C transit in opacity-grid interpolation mode on the identical

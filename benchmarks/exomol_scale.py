@@ -16,6 +16,7 @@ Usage: python benchmarks/exomol_scale.py [--nlines N] [--hosts H] [--compute]
 """
 
 import os
+import resource
 import sys
 import time
 
@@ -24,6 +25,11 @@ import numpy as np
 HERE = os.path.dirname(os.path.abspath(__file__))
 DATA = os.path.join(HERE, "data", "exomol")
 sys.path.insert(0, os.path.dirname(HERE))
+
+
+def rss_gb():
+    """Peak RSS of this process in GB."""
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
 
 WN_LO, WN_HI = 500.0, 10000.0
 CENTERS = [(1306.0, 250.0), (3019.0, 300.0), (4300.0, 250.0),
@@ -53,7 +59,8 @@ def make(nlines=100_000_000, data_dir=DATA):
     isoid = (rng.random(n) < 0.02).astype(np.int16)   # 2% secondary isotope
     elow = rng.uniform(0.0, 9000.0, n)
     gf = 10.0 ** rng.uniform(-10.0, -2.0, n)
-    print(f"generated {n} lines in {time.time()-t0:.1f}s", flush=True)
+    print(f"generated {n} lines in {time.time()-t0:.1f}s "
+          f"(RSS {rss_gb():.1f} GB)", flush=True)
 
     # sort by (isotope, wavelength) — the TLI contract (native radix
     # argsort; falls back to np.lexsort without the extension):
@@ -62,8 +69,10 @@ def make(nlines=100_000_000, data_dir=DATA):
     order = sort_iso_wl(isoid, wl)
     wl = wl[order]; isoid = isoid[order]
     elow = elow[order]; gf = gf[order]
+    del order
     isotran = np.bincount(isoid, minlength=2).astype(np.uint64)
-    print(f"sorted in {time.time()-t0:.1f}s", flush=True)
+    print(f"sorted in {time.time()-t0:.1f}s (RSS {rss_gb():.1f} GB)",
+          flush=True)
 
     t_pf = np.arange(70.0, 3020.0, 50.0)
     dbs = [TliDatabase("synth-exomol-ch4", "CH4", t_pf, [
@@ -76,7 +85,7 @@ def make(nlines=100_000_000, data_dir=DATA):
                             isoid=isoid, elow=elow, gf=gf,
                             isotran=isotran))
     print(f"wrote {os.path.getsize(path)/1e9:.2f} GB in "
-          f"{time.time()-t0:.1f}s", flush=True)
+          f"{time.time()-t0:.1f}s (RSS {rss_gb():.1f} GB)", flush=True)
     return path
 
 
@@ -90,10 +99,19 @@ def main():
     path = make(nlines)
 
     from transit_tpu.io.tli import read_tli_band
+    from transit_tpu.parallel.multihost import balanced_blocks
 
-    # Wavenumber bands per host (equal spans; production would use
-    # line-count-balanced splits from the same memmap searchsorted):
-    edges = np.linspace(WN_LO, WN_HI, hosts + 1)
+    # Line-count-balanced per-host bands via memmap bisection (the
+    # production split, parallel/multihost.py; O(hosts*log N) page
+    # touches regardless of list size):
+    dwn_split = 0.01
+    wns_v = np.arange(WN_LO, WN_HI + dwn_split / 2, dwn_split)
+    t0 = time.time()
+    bounds = balanced_blocks(path, wns_v, hosts)
+    print(f"balanced_blocks: {hosts} bands over {len(wns_v):,} bins in "
+          f"{time.time()-t0:.2f}s (RSS {rss_gb():.1f} GB)", flush=True)
+    edges = wns_v[np.clip(bounds, 0, len(wns_v) - 1)].astype(float)
+    edges[0], edges[-1] = WN_LO, WN_HI
     total = 0
     t_all = time.time()
     sizes = []
@@ -109,7 +127,7 @@ def main():
               f"({band.wl.shape[0]*26/dt/1e6:7.1f} MB/s)", flush=True)
     print(f"all {hosts} bands: {total:,} lines "
           f"(imbalance max/mean {max(sizes)/ (total/hosts):.2f}) in "
-          f"{time.time()-t_all:.1f}s", flush=True)
+          f"{time.time()-t_all:.1f}s (RSS {rss_gb():.1f} GB)", flush=True)
 
     # Band-local plan build for one host (tile bucketing, host-side):
     from transit_tpu.opacities import fast
@@ -148,6 +166,51 @@ def main():
         dt = time.time() - t0
         print(f"band extinction ({nl} layers x {n_coarse} bins x "
               f"{band.wl.shape[0]:,} lines): {dt:.2f}s", flush=True)
+
+
+def spectrum_step(nlines, hosts):
+    """BASELINE workload 4, executed: one host's band of an nlines-line
+    TLI through the FULL production path — balanced_blocks split,
+    read_tli_band wing-margined band load, band-local banded tile plans,
+    and a complete spectrum step (extinction + tau + intensity + flux)
+    on the default device.  Every other host runs the identical program
+    on its own band (tests/test_multihost.py proves the N-process
+    assembly); this measures the per-host cost at scale."""
+    path = make(nlines)
+    import jax.numpy as jnp
+    from transit_tpu import enable_compilation_cache
+    enable_compilation_cache()
+    from transit_tpu.config import TransitConfig
+    from transit_tpu.parallel.multihost import build_band_model
+    from benchmarks.make_workload import make as make_small, DATA as WDATA
+    if not os.path.exists(os.path.join(WDATA, "bench.atm")):
+        make_small()
+    cfg = TransitConfig(
+        atm=f"{WDATA}/bench.atm", linedb=path,
+        molfile=f"{WDATA}/molecules.dat",
+        wnlow=WN_LO, wnhigh=WN_HI, wndelt=0.02, wnosamp=216, wnfct=1.0,
+        nwidth=20.0, ethreshold=1e-8, solution="eclipse", toomuch=1e30)
+    pid = hosts // 2
+    t0 = time.time()
+    model, blk, _ = build_band_model(cfg, hosts, pid, bands=4)
+    print(f"band model (host {pid}/{hosts}): bins {blk}, "
+          f"{model.tli.n_lines:,} lines, built in {time.time()-t0:.1f}s "
+          f"(RSS {rss_gb():.1f} GB)", flush=True)
+    temps = jnp.asarray(model.atm.temp, model.dtype)
+    q = jnp.asarray(model.atm.q, model.dtype)
+    fwd = model.make_forward()
+    t0 = time.time()
+    spec = np.asarray(fwd(temps, q))
+    print(f"band spectrum: compile + first step {time.time()-t0:.1f}s "
+          f"(RSS {rss_gb():.1f} GB)", flush=True)
+    t0 = time.time()
+    spec = np.asarray(fwd(temps + 1.0, q))
+    dt = time.time() - t0
+    nl = model.atm.nlayers
+    assert np.all(np.isfinite(spec))
+    print(f"band spectrum step: {model.wns.n} bins x {nl} layers x "
+          f"{model.tli.n_lines:,} lines in {dt:.2f}s "
+          f"({model.wns.n * nl / dt:.3g} points*layers/s)", flush=True)
 
 
 def par_stream_demo(nlines=20_000_000, data_dir=DATA):
@@ -203,5 +266,11 @@ if __name__ == "__main__":
         n = (int(sys.argv[sys.argv.index("--nlines") + 1])
              if "--nlines" in sys.argv else 20_000_000)
         par_stream_demo(nlines=n)
+    elif "--spectrum" in sys.argv:
+        n = (int(sys.argv[sys.argv.index("--nlines") + 1])
+             if "--nlines" in sys.argv else 100_000_000)
+        h = (int(sys.argv[sys.argv.index("--hosts") + 1])
+             if "--hosts" in sys.argv else 32)
+        spectrum_step(n, h)
     else:
         main()

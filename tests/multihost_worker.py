@@ -47,9 +47,26 @@ def main():
     t0 = time.perf_counter()
     spec = runner.forward(temps, q)
     dt = time.perf_counter() - t0
+
+    # Differentiable path: global chi^2-style loss against a synthetic
+    # deterministic observation, grads cross-summed over processes
+    # (value_and_grad keeps the DCN reductions outside autodiff):
+    wns_n = runner.model.wns_global.n
+    obs = 0.5 * np.max(spec) * (1.0 + 0.1 * np.sin(
+        np.linspace(0.0, 6.0, wns_n)))
+    obs_j = jnp.asarray(obs, runner.model.dtype)
+
+    def loss_fn(band_spec, blk):
+        return jnp.sum((band_spec - obs_j[blk[0]:blk[1]]) ** 2)
+
+    t1 = time.perf_counter()
+    loss, (gt, gq) = runner.value_and_grad(loss_fn, temps, q)
+    dgrad = time.perf_counter() - t1
     np.savez(f"{out}.p{pid}.npz", spec=spec, bounds=runner.bounds,
              n_local_lines=runner.n_local_lines, step_seconds=dt,
-             block=np.asarray(runner.block))
+             block=np.asarray(runner.block),
+             loss=np.asarray(loss), grad_t=np.asarray(gt),
+             grad_q=np.asarray(gq), grad_seconds=dgrad, obs=obs)
     print(f"worker {pid}/{nproc}: block={runner.block} "
           f"lines={runner.n_local_lines} step={dt * 1e3:.1f} ms",
           flush=True)

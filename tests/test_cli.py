@@ -80,6 +80,47 @@ def test_cli_savefiles(cli_run):
                                atol=g["ext"].max() * 1e-10)
 
 
+def test_cli_savefiles_extinction_dumps(cli_run):
+    """total/cloud/scatt_extion.dat (tau.c:179-190, 293-296): streamed
+    per-wavenumber dumps; with no clouds or scattering configured the
+    total must equal mol-line + CIA and the other two must be zero."""
+    g = np.load(os.path.join(GOLD, "ref_eclipse.npz"))
+    wt, total = parse_2d_file(cli_run / "total_extion.dat")
+    _, cloud = parse_2d_file(cli_run / "cloud_extion.dat")
+    _, scatt = parse_2d_file(cli_run / "scatt_extion.dat")
+    expect = g["ext"].T + g["cia"]
+    np.testing.assert_allclose(total, expect, rtol=5e-5,
+                               atol=abs(expect).max() * 1e-9)
+    assert np.all(cloud == 0.0) and cloud.shape == total.shape
+    assert np.all(scatt == 0.0) and scatt.shape == total.shape
+    # Header quirk parity: the streamed files open with a blank line
+    # then the two-line header (openFile, tau.c:331-338):
+    head = (cli_run / "total_extion.dat").read_text()[:60]
+    assert head.startswith("\n# 2D total extinction\n")
+
+
+def test_cli_outsample_blocks(cli_run):
+    """outsample writes all four printsample blocks (makesample.c:
+    743-772), including the radius/ip values arrays and the reference's
+    zeroed Wavelength block (tr->wavs is never populated)."""
+    text = (cli_run / "sample.dat").read_text()
+    for name in ("Wavenumber", "Wavelength", "Radius", "Impact parameter"):
+        assert f"   {name:<12} Sampling" in text, name
+    blocks = text.split("############################\n")[1:]
+    rad = next(b for b in blocks if b.startswith("   Radius"))
+    ip = next(b for b in blocks if b.startswith("   Impact"))
+    rv = np.array([float(v) for v in
+                   rad.split("Values:")[1].split()])
+    iv = np.array([float(v) for v in
+                   ip.split("Values:")[1].split()])
+    assert len(rv) == len(iv) > 1
+    np.testing.assert_allclose(iv, rv[::-1], rtol=1e-6)
+    assert "Oversample" not in rad          # TRF_NOOVERSAMP
+    assert "Oversample: 0" in ip            # makeipsample sets o=0
+    wav = next(b for b in blocks if b.startswith("   Wavelength"))
+    assert "Number of elements: 0" in wav
+
+
 def test_cli_intensity(cli_run):
     g = np.load(os.path.join(GOLD, "ref_eclipse.npz"))
     d = np.loadtxt(cli_run / "intens.dat")

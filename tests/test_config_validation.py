@@ -217,3 +217,15 @@ def test_forward_rejects_raddelt_plus_hydrostatic():
     cfg.gsurf, cfg.refpress, cfg.refradius = 2200.0, 1.0, 7.0e9
     with pytest.raises(ConfigError, match="raddelt"):
         TransitModel(cfg)
+
+
+def test_share_opacity_warns(caplog):
+    """shareOpacity (argum.c:304-306) has no TPU-native meaning (the SysV
+    shm segment is replaced by HBM + per-process band loads); accepting
+    it silently would mislead users porting reference cfgs."""
+    import logging
+    cfg = good()
+    cfg.shareOpacity = True
+    with caplog.at_level(logging.WARNING, logger="transit_tpu"):
+        validate(cfg)
+    assert any("shareOpacity" in r.message for r in caplog.records)

@@ -71,12 +71,25 @@ def test_demo_wavelengths(demo_run):
                                np.sort(g["wl"]), rtol=1e-9)
 
 
-def test_demo_fast_mode_agrees():
-    """The production fast path models the same physics: spectra agree with
-    the reference demo run to sub-percent (residual = the reference's own
-    60x60 width quantization, which the fast path does not have)."""
+def test_demo_fast_mode_agrees(demo_run):
+    """The production fast path models the same physics: spectra agree
+    with the reference demo run to sub-percent (residual = the
+    reference's own 60x60 width quantization, which the fast path does
+    not have).
+
+    The comparison is split by the toomuch-crossing oracle (VERDICT r3
+    item 7).  Measured attribution (this fixture; identical stats when
+    the fast path runs in float64, so the residual is quantization, not
+    precision): ~9% of bins cross toomuch at a different layer under
+    true vs quantized widths — their discrete B[last] boundary term
+    shifts, up to tens of percent where the crossing moves many layers.
+    Bins where ``last`` agrees sit at median ~5e-4 with a tail to a few
+    percent: the demo is optically thick in every bin (tau_max > 8
+    everywhere), and a relative tau error eps is amplified to ~tau*eps
+    through exp(-tau/mu) near the threshold."""
     import jax.numpy as jnp
     g = np.load(os.path.join(GOLD, "ref_demo.npz"))
+    _, exact_res = demo_run
     cfg = TransitConfig(
         atm=DEMO_ATM, linedb=f"{FIX}/demo_ch4.tli", csfile=DEMO_CIA,
         molfile=DEMO_MOL,
@@ -88,10 +101,18 @@ def test_demo_fast_mode_agrees():
     res = model.compute()
     rel = np.abs(np.asarray(res.spectrum, np.float64) - g["spec"]) \
         / np.abs(g["spec"])
-    # Median/p95: the bulk of the spectrum agrees to well under a percent.
-    # Individual bins where tau crosses toomuch at a different layer (the
-    # fast path's true widths vs the reference's quantized widths shift
-    # the discrete B[last] boundary term) can deviate more — that is a
-    # real resolution of the toomuch discretization, not an error.
-    assert np.median(rel) < 5e-3
-    assert np.percentile(rel, 95) < 5e-2
+    # Crossing oracle: the exact path is bit-faithful to the reference's
+    # quantized widths, so its last differs from the fast path's exactly
+    # where the discretization resolves differently:
+    last_exact = np.asarray(exact_res.last)
+    last_fast = np.asarray(res.last)
+    crossing = last_exact != last_fast
+    assert np.mean(crossing) < 0.15, \
+        f"{np.mean(crossing):.1%} of bins cross at a different layer"
+    nc = rel[~crossing]
+    assert np.median(nc) < 2e-3, np.median(nc)       # measured 5.4e-4
+    assert np.percentile(nc, 90) < 1e-2              # measured 3.5e-3
+    assert np.max(nc) < 7e-2, np.max(nc)             # measured 6.6e-2
+    # Crossing bins: bounded by the boundary-term jump (the worst bin
+    # moves the crossing ~50 layers on this fixture):
+    assert np.max(rel[crossing]) < 0.5 if crossing.any() else True

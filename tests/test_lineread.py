@@ -229,3 +229,68 @@ def test_hitran_streaming_empty_window(tmp_path):
     r = HitranReader(str(p))
     wl, gf, el, iso = r.read(1e4 / 5000.0, 1e4 / 4000.0)
     assert wl.shape == (0,) and iso.dtype == np.int16
+
+
+def test_band_reader_beyond_4gib_offsets(tmp_path):
+    """>4 GiB file-offset pin for read_tli_band (the 1e9-line regime,
+    VERDICT r3 item 3): a 300M-line TLI is laid out SPARSELY — the line
+    blocks are file holes (reading as 0.0/0) except a real sorted
+    wavelength window at the END of the block, so the per-isotope
+    bisection stays correct (holes < window values) while the gf block's
+    window bytes sit beyond offset 4 GiB.  u32 truncation anywhere in
+    the offset arithmetic would read the wrong bytes."""
+    import struct
+    from transit_tpu.io.tli import (read_tli_band, read_tli_header,
+                                    TliData, TliDatabase, TliIsotope,
+                                    write_tli)
+
+    path = str(tmp_path / "huge.tli")
+    nlines = 300_000_000
+    k = 1000                       # real lines at the end of the block
+    wl_win = np.linspace(3.0, 3.1, k)
+    gf_win = 10.0 ** np.linspace(-8.0, -4.0, k)
+    el_win = np.linspace(100.0, 2100.0, k)
+
+    # Header via the normal writer on an empty list, then patch the
+    # line-section sizes and punch the sparse blocks:
+    t_pf = np.array([100.0, 300.0])
+    data = TliData(version=6, iwav=0.5, fwav=4.0, databases=[
+        TliDatabase("syn", "CH4", t_pf,
+                    [TliIsotope("a", 16.0, 1.0, np.array([1.0, 2.0]))])],
+        wl=np.zeros(0), isoid=np.zeros(0, np.int16), elow=np.zeros(0),
+        gf=np.zeros(0), isotran=np.array([0], dtype=np.uint64))
+    write_tli(path, data)
+    hdr = read_tli_header(path)
+    data_off = hdr["_line_layout"][0]
+    with open(path, "r+b") as f:
+        # Patch nlines (u64 at data_off-20) and isotran[0] (u64 at
+        # data_off-8); the i32 isotope count between them stays 1:
+        f.seek(data_off - 20)
+        f.write(struct.pack("<Q", nlines))
+        f.seek(data_off - 8)
+        f.write(struct.pack("<Q", nlines))
+        wl_off = data_off
+        iso_off = wl_off + 8 * nlines
+        el_off = iso_off + 2 * nlines
+        gf_off = el_off + 8 * nlines
+        end = gf_off + 8 * nlines
+        assert gf_off + 8 * (nlines - k) > 4 * 2 ** 30
+        f.seek(wl_off + 8 * (nlines - k))
+        f.write(wl_win.astype("<f8").tobytes())
+        f.seek(el_off + 8 * (nlines - k))
+        f.write(el_win.astype("<f8").tobytes())
+        f.seek(gf_off + 8 * (nlines - k))
+        f.write(gf_win.astype("<f8").tobytes())
+        f.truncate(end)
+    # Sparse: ~7.8 GB apparent, a few MB on disk:
+    assert os.path.getsize(path) == end
+    assert os.stat(path).st_blocks * 512 < 50 * 2 ** 20
+
+    band = read_tli_band(path, 3.0, 3.1)
+    assert band.n_lines == k
+    np.testing.assert_array_equal(band.wl, wl_win)
+    np.testing.assert_array_equal(band.gf, gf_win)
+    np.testing.assert_array_equal(band.elow, el_win)
+    assert np.all(band.isoid == 0)
+    # A window bisecting into the hole returns nothing, not garbage:
+    assert read_tli_band(path, 2.0, 2.9).n_lines == 0

@@ -149,3 +149,39 @@ def test_grid_mode_band_models_match_full(tmp_path):
         parts.append(np.asarray(bm.compute().spectrum))
     got = np.concatenate(parts)
     np.testing.assert_allclose(got, ref, rtol=1e-12)
+
+
+def test_multihost_grad_matches_single_process(tmp_path,
+                                               single_process_reference):
+    """Differentiable multi-process retrieval (VERDICT r3 item 1b): the
+    cross-summed value_and_grad over 2 band processes must match the
+    single-process gradient of the same global loss."""
+    import jax
+    import jax.numpy as jnp
+
+    out = tmp_path / "mhg"
+    _run_workers(2, out)
+    d0 = np.load(f"{out}.p0.npz")
+    d1 = np.load(f"{out}.p1.npz")
+    # Both processes hold identical loss and grads after the DCN sum:
+    np.testing.assert_allclose(d0["loss"], d1["loss"], rtol=1e-12)
+    np.testing.assert_allclose(d0["grad_t"], d1["grad_t"], rtol=1e-12)
+
+    ref = single_process_reference
+    cfg = make_config("eclipse", 1e30)
+    model = TransitModel(cfg, mode="fast", bands=4)
+    temps = jnp.asarray(model.atm.temp, model.dtype)
+    q = jnp.asarray(model.atm.q, model.dtype)
+    obs = jnp.asarray(d0["obs"], model.dtype)
+
+    def loss(t, qq):
+        return jnp.sum((model.forward(t, qq) - obs) ** 2)
+
+    ref_loss, (gt, gq) = jax.value_and_grad(
+        loss, argnums=(0, 1))(temps, q)
+    np.testing.assert_allclose(d0["loss"], np.asarray(ref_loss),
+                               rtol=1e-8)
+    np.testing.assert_allclose(d0["grad_t"], np.asarray(gt), rtol=1e-6,
+                               atol=abs(np.asarray(gt)).max() * 1e-8)
+    np.testing.assert_allclose(d0["grad_q"], np.asarray(gq), rtol=1e-6,
+                               atol=abs(np.asarray(gq)).max() * 1e-8)

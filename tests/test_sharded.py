@@ -46,3 +46,77 @@ def test_sharded_banded_matches_single(solution):
     sharded = np.asarray(step(temps, q))
     single = np.asarray(jax.jit(model.forward)(temps, q))
     np.testing.assert_allclose(sharded, single, rtol=1e-10, atol=0)
+
+
+@pytest.mark.parametrize("bands", [0, 4])
+def test_sharded_grad_matches_single(bands):
+    """Autodiff through the shard_map step (VERDICT r3 item 1a): the
+    gradient of a spectrum functional wrt (T, q) must match the
+    single-device forward's gradient."""
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(1, 4), ("batch", "wn"))
+    model = TransitModel(make_config("eclipse", 1e30), mode="fast",
+                         bands=bands)
+    step = make_sharded_forward(model, mesh)
+    temps = jnp.asarray(model.atm.temp, dtype=model.dtype)
+    q = jnp.asarray(model.atm.q, dtype=model.dtype)
+    w = jnp.linspace(0.5, 2.0, model.wns.n)
+
+    def loss(f):
+        return lambda t, qq: jnp.vdot(w, f(t, qq))
+
+    gt_s, gq_s = jax.grad(loss(step), argnums=(0, 1))(temps, q)
+    gt_1, gq_1 = jax.grad(loss(jax.jit(model.forward)),
+                          argnums=(0, 1))(temps, q)
+    np.testing.assert_allclose(np.asarray(gt_s), np.asarray(gt_1),
+                               rtol=1e-7, atol=abs(np.asarray(gt_1)).max()
+                               * 1e-9)
+    np.testing.assert_allclose(np.asarray(gq_s), np.asarray(gq_1),
+                               rtol=1e-7, atol=abs(np.asarray(gq_1)).max()
+                               * 1e-9)
+
+
+def test_balanced_blocks_clustered_lines():
+    """Synthetic clustered line distribution (VERDICT r3 item 2): the
+    LPT assignment must land per-device actual line-eval counts within
+    15% of each other where contiguous spans would be ~4x apart."""
+    from transit_tpu.parallel.sharded import (_balance_blocks,
+                                              _block_costs)
+    import dataclasses
+
+    @dataclasses.dataclass
+    class FakePlan:
+        tw: int
+        ntiles: int
+        tile_count: np.ndarray
+
+    rng = np.random.default_rng(7)
+    ntiles = 256
+    # 80% of the lines in the first quarter of the spectrum:
+    count = np.where(np.arange(ntiles) < 64,
+                     rng.integers(200, 400, ntiles),
+                     rng.integers(10, 60, ntiles)).astype(np.int64)
+    sp = FakePlan(tw=8, ntiles=ntiles, tile_count=count)
+    ndev = 8
+    costs = _block_costs([(sp, 100.0)], ntiles, 8)
+    blocks, loads = _balance_blocks(costs, ndev)
+    assert blocks.shape == (ndev, ntiles // ndev)
+    assert sorted(blocks.reshape(-1).tolist()) == list(range(ntiles))
+    assert loads.max() <= 1.15 * loads.min(), loads
+    contiguous = costs.reshape(ndev, -1).sum(axis=1)
+    assert contiguous.max() > 3.0 * contiguous.min()
+
+
+def test_sharded_step_reports_eval_stats():
+    """make_sharded_forward exposes per-device actual eval counts and
+    the block assignment (consumed by dryrun_multichip's report)."""
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(1, 4), ("batch", "wn"))
+    model = TransitModel(make_config("eclipse", 1e30), mode="fast",
+                         bands=4)
+    step = make_sharded_forward(model, mesh)
+    st = step.eval_stats
+    assert st is not None
+    assert st["actual_evals"].shape == (4,)
+    assert st["actual_evals"].sum() > 0
+    # The assignment is a permutation of all blocks:
+    assert sorted(st["blocks"].reshape(-1).tolist()) == \
+        list(range(st["block_costs"].shape[0]))

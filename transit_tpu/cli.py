@@ -121,8 +121,21 @@ def write_2d(path, header, keys, rows, keytag):
             f.write("".join(f"{v:<20.10g}" for v in row) + "\n\n")
 
 
+def write_2d_stream(path, header, wns, rows):
+    """openFile + save1Darray format (tau.c:331-338, 456-467): the
+    streamed per-wavenumber dumps put the blank line BEFORE each block
+    (save1Darray) rather than after (print2dArrayDouble)."""
+    with open(path, "w") as f:
+        f.write("\n" + header)
+        for w, row in zip(wns, rows):
+            f.write(f"\nwavenumber: {w:<20.10g}\n")
+            f.write("".join(f"{v:<20.10g}" for v in row) + "\n")
+
+
 def save_files(res, model):
-    """--savefiles outputs (tau.c:179-190, 308-329, 385-518)."""
+    """--savefiles outputs (tau.c:179-190, 293-296, 308-329, 385-518):
+    tau, CIA, mol-line, and the streamed total/cloud/scatt extinction
+    dumps."""
     write_2d("tau.dat",
              "# 2D optical depth\n# tau [wn][rad]; wn[0]=min(wn); "
              "rad[0]=top (min(p))\n",
@@ -135,6 +148,21 @@ def save_files(res, model):
              "# mol-line extinction\n# e [rad][wn]; rad[0]=bottom "
              "(max(p)); wn[0]=min(wn)\n",
              model.rads_v, np.asarray(res.extinction), "radius:")
+    write_2d_stream("total_extion.dat",
+                    "# 2D total extinction\n"
+                    "# er [wn][rad]; wn[0]=min(wn), row[0]=bottom "
+                    "(max(p))\n",
+                    res.wns, np.asarray(res.total))
+    write_2d_stream("cloud_extion.dat",
+                    "# 2D cloud extinction\n"
+                    "# e_c [wn][rad]; wn[0]=min(wn), row[0]=bottom "
+                    "(max(p))\n",
+                    res.wns, np.asarray(res.cloud))
+    write_2d_stream("scatt_extion.dat",
+                    "# 2D scatt extinction\n"
+                    "# e_s [wn][rad]; wn[0]=min(wn), row[0]=bottom "
+                    "(max(p))\n",
+                    res.wns, np.asarray(res.scatt))
 
 
 def write_detail(spec, wns, rows_axis, arr, radfirst):
@@ -171,24 +199,45 @@ def write_detail(spec, wns, rows_axis, arr, radfirst):
             f.write("\n")
 
 
+def _print_sample(out, name, i, f, d, fct, n, o=None, values=None):
+    """One printsample block (makesample.c:641-672)."""
+    out.write("############################\n"
+              f"   {name:<12} Sampling\n"
+              "----------------------------\n")
+    out.write(f"Factor to cgs units: {fct:g}\n")
+    out.write(f"Initial value: {i:g}\nFinal value: {f:g}\n")
+    out.write(f"Spacing: {d:g}\n")
+    if o is not None:
+        out.write(f"Oversample: {o}\n")
+    out.write(f"Number of elements: {n}\n")
+    if values is not None:
+        out.write("Values: ")
+        out.write("".join(" %12.8g" % v for v in values))
+        out.write("\n")
+
+
 def write_sample_info(path, model):
-    """outsample report (makesample.c:639-672, 743-772)."""
+    """outsample report: wavenumber, wavelength, radius, and
+    impact-parameter blocks (makesample.c:641-672 printsample, 743-772
+    outsample).  The reference never populates tr->wavs (only the hint
+    th->wavs; grep makesample.c), so its Wavelength block prints the
+    zeroed struct — replicated faithfully.  Radius prints its values
+    but no oversample (TRF_NOOVERSAMP); impact parameter prints both
+    (makeipsample sets o=0, d=0, i=rads.f, f=rads.i,
+    makesample.c:558-575)."""
     if not path:
         return
     out = open(path, "w") if path != "-" else sys.stdout
-    for name, samp, show_o in (("Wavenumber", model.wns, True),
-                               ("Radius", None, False)):
-        if samp is None:
-            continue
-        out.write("############################\n"
-                  f"   {name:<12} Sampling\n"
-                  "----------------------------\n")
-        out.write(f"Factor to cgs units: {samp.fct:g}\n")
-        out.write(f"Initial value: {samp.i:g}\nFinal value: {samp.f:g}\n")
-        out.write(f"Spacing: {samp.d:g}\n")
-        if show_o:
-            out.write(f"Oversample: {samp.o}\n")
-        out.write(f"Number of elements: {samp.n}\n")
+    w = model.wns
+    _print_sample(out, "Wavenumber", w.i, w.f, w.d, w.fct, w.n, o=w.o)
+    _print_sample(out, "Wavelength", 0, 0, 0, 0, 0, o=0)
+    rv = model.rads_v
+    rd = model.cfg.raddelt if model._atm0 is not None else 0.0
+    _print_sample(out, "Radius", rv[0], rv[-1], rd, model.rfct,
+                  len(rv), values=rv)
+    ips = model.ips_v
+    _print_sample(out, "Impact parameter", rv[-1], rv[0], 0.0,
+                  model.rfct, len(ips), o=0, values=ips)
     if out is not sys.stdout:
         out.close()
 

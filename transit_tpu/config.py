@@ -289,6 +289,20 @@ def validate(cfg: TransitConfig) -> TransitConfig:
         if vals[1] > vals[2]:
             err(f"cloud: the cloud top ({vals[1]:g}) needs to be less "
                 f"than the cloud bottom ({vals[2]:g}).")
+
+    # shareOpacity (argum.c:304-306) selected the reference's SysV
+    # shared-memory opacity segment (opacity.c:89-201) so N retrieval
+    # workers on one node could mount one grid.  Here the grid lives in
+    # device HBM and multi-process runs memmap only their own wavenumber
+    # band (parallel/multihost.py); the flag is accepted for cfg
+    # compatibility but has no effect — tell the user instead of
+    # silently ignoring it:
+    if cfg.shareOpacity:
+        from transit_tpu.utils.log import warn
+        warn("shareOpacity is ignored: the opacity grid is loaded into "
+             "device memory (and band-windowed per process in multi-host "
+             "runs), replacing the reference's SysV shared-memory "
+             "segment.")
     return cfg
 
 

@@ -111,6 +111,10 @@ class MolConst:
     modes: tuple = ()          # ((omega_cm1, degeneracy), ...)
     gns: tuple = None          # (even-J, odd-J) nuclear-spin weights
     q296: dict = None          # HITRAN molparam Q(296 K) per isotopologue
+    elec: tuple = ()           # ((E_cm1, degeneracy), ...) low-lying
+    #                            electronic terms (spin-orbit components
+    #                            of open-shell ground states: NO, OH,
+    #                            TiO); empty = closed shell (Qelec = 1)
 
 
 # Constants: Herzberg/NIST fundamentals and rotational constants;
@@ -138,6 +142,59 @@ MOL_CONST = {
     "N2": MolConst("linear", B=1.99824, modes=((2330.0, 1),),
                    gns=(6.0, 3.0), q296={"44": 467.1}),
     "He": MolConst("atom", q296={"4": 1.0}),
+    # Hot-Jupiter / HITRAN-coverage extension (VERDICT r3 item 5).
+    # Rotational constants and fundamentals: Herzberg / NIST diatomic
+    # and polyatomic compilations; Q296 anchors: HITRAN molparam.txt.
+    "NH3": MolConst("nonlinear", ABC=(9.9466, 9.9466, 6.2286),
+                    modes=((3336.6, 1), (950.0, 1), (3443.6, 2),
+                           (1626.1, 2)),
+                    q296={"4111": 1725.23, "5111": 1153.30}),
+    "HCN": MolConst("linear", B=1.47822,
+                    modes=((3311.5, 1), (713.5, 2), (2096.8, 1)),
+                    q296={"124": 892.20, "134": 1830.97, "125": 615.28}),
+    "C2H2": MolConst("linear", B=1.17664, gns=(1.0, 3.0),
+                     modes=((3372.8, 1), (1974.3, 1), (3294.8, 1),
+                            (612.9, 2), (730.3, 2)),
+                     q296={"1221": 412.45, "1231": 1656.18}),
+    "H2S": MolConst("nonlinear", ABC=(10.360, 9.016, 4.732),
+                    modes=((2614.4, 1), (1182.6, 1), (2628.5, 1)),
+                    q296={"121": 505.79, "141": 504.35, "131": 2014.94}),
+    "PH3": MolConst("nonlinear", ABC=(4.4522, 4.4522, 3.919),
+                    modes=((2321.1, 1), (992.1, 1), (2326.9, 2),
+                           (1118.3, 2)),
+                    q296={"1111": 3249.44}),
+    "SO2": MolConst("nonlinear", ABC=(2.02736, 0.34417, 0.29353),
+                    modes=((1151.7, 1), (517.9, 1), (1362.1, 1)),
+                    q296={"626": 6340.30, "646": 6368.98}),
+    "O3": MolConst("nonlinear", ABC=(3.55367, 0.44526, 0.39479),
+                   modes=((1103.1, 1), (700.9, 1), (1042.1, 1)),
+                   q296={"666": 3483.71, "668": 7465.68, "686": 3647.08,
+                         "667": 43330.85, "676": 21404.96}),
+    # Open-shell diatomics: the spin-orbit components of the ground
+    # electronic term enter as low-lying electronic levels whose
+    # Boltzmann factors change Q's SHAPE appreciably between 296 K and
+    # 3000 K (NO: the 2Pi_3/2 component at ~121 cm-1 contributes a
+    # further x1.25 by 3000 K) — a closed-shell shape would carry that
+    # error into every line strength:
+    "NO": MolConst("linear", B=1.67195, modes=((1904.2, 1),),
+                   elec=((0.0, 2.0), (121.1, 2.0)),
+                   q296={"46": 1142.13, "56": 789.26, "48": 1204.44}),
+    "OH": MolConst("linear", B=18.911, modes=((3569.6, 1),),
+                   elec=((0.0, 2.0), (139.2, 2.0)),
+                   q296={"61": 80.35, "81": 80.88, "62": 209.32}),
+    # TiO (3Delta, A ~ 50.6 cm-1 -> components at ~0/101/203) and VO
+    # (4Sigma-): NOT in HITRAN molparam; the anchors below are this
+    # model's own absolute Q (rot x vib x elec, nuclear spin excluded —
+    # the astrophysical convention Schwenke/Plez line strengths use).
+    # Production runs should supply the line list's own .pf table
+    # (db_tioschwenke.py reads one; file_source here) — this entry is
+    # the anchored fallback:
+    "TiO": MolConst("linear", B=0.53541, modes=((1009.0, 1),),
+                    elec=((0.0, 2.0), (101.2, 2.0), (202.4, 2.0)),
+                    q296={"48": 1536.0}),
+    "VO": MolConst("linear", B=0.54825, modes=((1011.3, 1),),
+                   elec=((0.0, 4.0),),
+                   q296={"51": 1515.0}),
 }
 
 
@@ -183,6 +240,18 @@ def qvib_harmonic(temps, modes):
     return q
 
 
+def qelec(temps, elec):
+    """Electronic partition function over low-lying terms (spin-orbit
+    components of open-shell ground states)."""
+    temps = np.atleast_1d(np.asarray(temps, dtype=np.float64))
+    if not elec:
+        return np.ones_like(temps)
+    q = np.zeros_like(temps)
+    for e, g in elec:
+        q += g * np.exp(-e * HCK / temps)
+    return q
+
+
 def _q_shape(mc: MolConst, temps):
     if mc.kind == "atom":
         return np.ones_like(np.atleast_1d(np.asarray(temps, float)))
@@ -190,7 +259,7 @@ def _q_shape(mc: MolConst, temps):
         qr = qrot_linear(temps, mc.B, mc.D, mc.gns)
     else:
         qr = qrot_nonlinear(temps, mc.ABC)
-    return qr * qvib_harmonic(temps, mc.modes)
+    return qr * qvib_harmonic(temps, mc.modes) * qelec(temps, mc.elec)
 
 
 def statmech_source(molecule, temps=None):

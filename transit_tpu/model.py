@@ -41,7 +41,7 @@ from transit_tpu.opacities.scattering import scattering_extinction
 from transit_tpu.opacities.voigt import build_profile_table
 from transit_tpu.rt import tau as rt_tau
 from transit_tpu.rt import geometry as rt_geom
-from transit_tpu.rt.emission import eclipse_intensity, flux
+from transit_tpu.rt.emission import eclipse_intensities, flux
 from transit_tpu.rt.transmission import (
     modulation, modulation_m1, modulation_weight_table,
     modulation_weight_table_jnp)
@@ -56,6 +56,9 @@ class SpectrumResult:
     last: jnp.ndarray = None        # (nwn,)
     extinction: jnp.ndarray = None  # (nlayer, nwn) line extinction
     cia: jnp.ndarray = None         # (nwn, nlayer)
+    scatt: jnp.ndarray = None       # (nwn, nlayer) scattering extinction
+    cloud: jnp.ndarray = None       # (nwn, nlayer) cloud extinction
+    total: jnp.ndarray = None       # (nwn, nlayer) total extinction er
 
 
 class TransitModel:
@@ -477,15 +480,17 @@ class TransitModel:
 
         if self.solution == "eclipse":
             temp_rev = temps_cgs[::-1]
-            intens = jnp.stack([
-                eclipse_intensity(tau, last, wns_cgs, temp_rev, a)
-                for a in self.angles])
+            intens = eclipse_intensities(tau, last, wns_cgs, temp_rev,
+                                         self.angles)
             spec = flux(intens, self.angles)
             if not full_result:
                 return spec
             return SpectrumResult(wns=self.wns.v, spectrum=spec,
                                   intensity=intens, tau=tau, last=last,
-                                  extinction=ex, cia=e_cs)
+                                  extinction=ex, cia=e_cs,
+                                  scatt=jnp.broadcast_to(e_s, er.shape),
+                                  cloud=jnp.broadcast_to(e_c, er.shape),
+                                  total=er)
         else:
             srad = self.cfg.starrad * SUNRADIUS
             ips = radii[::-1]
@@ -500,7 +505,10 @@ class TransitModel:
             if not full_result:
                 return spec
             return SpectrumResult(wns=self.wns.v, spectrum=spec, tau=tau,
-                                  last=last, extinction=ex, cia=e_cs)
+                                  last=last, extinction=ex, cia=e_cs,
+                                  scatt=jnp.broadcast_to(e_s, er.shape),
+                                  cloud=jnp.broadcast_to(e_c, er.shape),
+                                  total=er)
 
     # ------------------------------------------------------------------
     def run_transit(self, flat_input):

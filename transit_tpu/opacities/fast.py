@@ -481,14 +481,17 @@ def fast_extinction_tiles(plan: FastPlan, d, temps, densities,
                           tile0=0, ntiles: int = None,
                           line_chunk: int = 512, eval_budget: int = 0,
                           prep=None, voigt_fn=voigt_k_humlicek,
-                          kmax_override=None):
-    """Extinction (nlayer, ntiles*tw) for a contiguous tile range.
+                          kmax_override=None, gidx=None):
+    """Extinction (nlayer, ntiles*tw) for a device-local tile set.
 
-    ``d`` holds this range's tile tensors (wavn/elow/gf/iso/mask, first dim
-    = ntiles) plus the replicated all_*/iso_* arrays; ``tile0`` is the
-    global index of the first tile (may be traced — used only for the
-    wavenumber offset).  This is the device-local body of the
-    wavenumber-sharded path (parallel/sharded.py).
+    ``d`` holds this set's tile tensors (wavn/elow/gf/iso/mask, first dim
+    = ntiles) plus the replicated all_*/iso_* arrays.  The set is either
+    the contiguous range starting at global tile ``tile0`` or, when
+    ``gidx`` (an (ntiles,) int32 array, may be traced) is given, an
+    arbitrary per-device tile selection — the line-balanced assignment
+    of parallel/sharded.py passes the permuted global tile indices here
+    so each tile's wavenumber offset is right while its OUTPUT position
+    stays the local slot order.
 
     temps: (nl,) layer temperatures (cgs); densities (nmol, nl);
     Z (niso, nl) partition functions.
@@ -500,7 +503,8 @@ def fast_extinction_tiles(plan: FastPlan, d, temps, densities,
                             mol_radius, line_chunk,
                             kmax_override=kmax_override)
     nlayer = prep["temps"].shape[0]
-    gidx = tile0 + jnp.arange(ntiles, dtype=jnp.int32)
+    if gidx is None:
+        gidx = tile0 + jnp.arange(ntiles, dtype=jnp.int32)
     dtiles = {k: d[k][:ntiles]
               for k in ("wavn", "elow", "gf", "iso", "mask")}
     tiles = _run_tiles(plan, d, dtiles, gidx, plan.lmax, prep, wn_i, dwn,

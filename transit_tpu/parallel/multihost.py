@@ -224,16 +224,9 @@ class MultihostForward:
 
     def local_spectrum(self, temps_raw, q):
         """This process's band of the spectrum (no DCN gather)."""
-        if self.exact_ethresh:
-            kl = self._kmax_fn(temps_raw)
-            if self.nproc > 1:
-                from jax.experimental import multihost_utils
-                kg = jnp.max(multihost_utils.process_allgather(kl),
-                             axis=0)
-            else:
-                kg = kl
-            return self._step(temps_raw, q,
-                              jnp.asarray(kg, self.model.dtype))
+        kg = self._global_kmax(temps_raw)
+        if kg is not None:
+            return self._step(temps_raw, q, kg)
         return self._step(temps_raw, q)
 
     def forward(self, temps_raw, q):
@@ -247,3 +240,51 @@ class MultihostForward:
         parts = [g[p, :self.bounds[p + 1] - self.bounds[p]]
                  for p in range(self.nproc)]
         return np.concatenate(parts)
+
+    def _global_kmax(self, temps_raw):
+        if not self.exact_ethresh:
+            return None
+        kl = self._kmax_fn(temps_raw)
+        if self.nproc > 1:
+            from jax.experimental import multihost_utils
+            kl = jnp.max(multihost_utils.process_allgather(kl), axis=0)
+        return jnp.asarray(kl, self.model.dtype)
+
+    def value_and_grad(self, loss_fn, temps_raw, q, *loss_args):
+        """Differentiable multi-process retrieval step (the production
+        loop the reference drives through run_transit, transit.c:118-122
+        — here with gradients for optimizer/HMC samplers).
+
+        ``loss_fn(band_spec, (b0, b1), *loss_args) -> scalar``: this
+        process's contribution to a global loss that is a SUM over
+        wavenumber bins (e.g. chi^2 of the band against the observed
+        spectrum's matching window; loss_args ride through untouched,
+        e.g. the full observation array for the band to slice).
+
+        Returns (loss, (grad_temps, grad_q)), identical on every
+        process.  The differentiated region is pure jit (band spectrum
+        -> local loss -> local grads via one backward pass); the two
+        host-mediated DCN collectives — the kmax max-reduction (a
+        piecewise-constant threshold wrt parameters,
+        extinction.c:467-470) and the loss/grad sum-reduction — stay
+        OUTSIDE it, so autodiff never sees a host round-trip.
+        """
+        kg = self._global_kmax(temps_raw)
+
+        def local(t, qq):
+            spec = (self._step(t, qq, kg) if kg is not None
+                    else self._step(t, qq))
+            return loss_fn(spec, self.block, *loss_args)
+
+        val, grads = jax.value_and_grad(local, argnums=(0, 1))(
+            temps_raw, q)
+        if self.nproc == 1:
+            return val, grads
+        from jax.experimental import multihost_utils
+        gt, gq = grads
+        flat = jnp.concatenate([jnp.reshape(val, (1,)), jnp.ravel(gt),
+                                jnp.ravel(gq)])
+        tot = jnp.sum(multihost_utils.process_allgather(flat), axis=0)
+        return (tot[0],
+                (tot[1:1 + gt.size].reshape(gt.shape),
+                 tot[1 + gt.size:].reshape(gq.shape)))

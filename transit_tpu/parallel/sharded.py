@@ -2,17 +2,28 @@
 
 The physically parallel axis of this workload is wavenumber (the
 sequence-parallelism analogue; SURVEY §2.4): the coarse grid is split into
-contiguous tile blocks per device, and the line list is bucketed per tile
-*with wing halos* on the host (opacities/fast.py), so every device owns
-exactly the lines its block can see — boundary lines are duplicated into
-both neighbors (duplication ~ (2*halo+TW)/TW) and no runtime halo exchange
-is needed.  Everything downstream of extinction (CIA, scattering, clouds,
-tau-as-matmul over the *local* layer axis, intensity/flux or modulation) is
-pointwise in wavenumber and stays device-local; the only collective is the
-final spectrum all-gather, which jax.jit inserts from the output sharding.
+B-bin blocks (B = the largest tile width), and the line list is bucketed
+per tile *with wing halos* on the host (opacities/fast.py), so every
+device owns exactly the lines its blocks can see — boundary lines are
+duplicated into both neighbors (duplication ~ (2*halo+TW)/TW) and no
+runtime halo exchange is needed.  Everything downstream of extinction
+(CIA, scattering, clouds, tau-as-matmul over the *local* layer axis,
+intensity/flux or modulation) is pointwise in wavenumber and stays
+device-local; the only collective is the final spectrum all-gather, which
+jax.jit inserts from the output sharding.
 
-A second mesh axis ("batch") shards retrieval batches (the DP analogue) via
-vmap composed over the sharded step.
+Blocks are LINE-BALANCED, not bin-balanced (SURVEY §7 hard part 2 at the
+ICI level): line density varies by >3x across the spectrum, so equal
+contiguous spans would leave the densest device setting the step time
+once per-tile work tracks its true line count.  Each device gets an
+equal NUMBER of blocks (shard_map needs uniform shapes) chosen by greedy
+LPT over per-block line-eval cost; the tile tensors are permuted
+host-side to the assignment, each tile carries its global index (for the
+wavenumber offset), and the gathered spectrum is unpermuted back to grid
+order by a precomputed index — zero extra collectives.
+
+A second mesh axis ("batch") shards retrieval batches (the DP analogue)
+via vmap composed over the sharded step.
 
 The reference has no distributed compute at all (its only multi-process
 feature is a SysV shared-memory opacity cache, transit/src/opacity.c:89-201);
@@ -34,26 +45,58 @@ from transit_tpu.opacities.cia import cs_extinction
 from transit_tpu.opacities.clouds import cloud_extinction
 from transit_tpu.opacities.scattering import scattering_extinction
 from transit_tpu.rt import tau as rt_tau
-from transit_tpu.rt.emission import eclipse_intensity, flux
+from transit_tpu.rt.emission import eclipse_intensities, flux
 from transit_tpu.rt.transmission import modulation
 
 
-def _pad_tiles(model, ndev):
-    """Pad the fast plan's tile tensors to a multiple of ndev tiles."""
-    d = model.fdev
-    ntiles = model.fplan.ntiles
-    npad = (-(-ntiles // ndev)) * ndev - ntiles
-    if npad == 0:
-        return d, ntiles
-    out = dict(d)
-    for k in ("wavn", "elow", "gf", "iso", "mask"):
-        pad_shape = (npad,) + d[k].shape[1:]
-        fill = jnp.zeros(pad_shape, dtype=d[k].dtype)
-        out[k] = jnp.concatenate([d[k], fill], axis=0)
-    return out, ntiles + npad
+def _block_costs(subplans, nblk: int, B: int) -> np.ndarray:
+    """Actual line-eval cost per B-bin block: sum over (subplan, weight)
+    of tile line counts covering the block, weighted by the layer count
+    the subplan evaluates (its band height)."""
+    costs = np.zeros(nblk)
+    for sp, w in subplans:
+        tpb = B // sp.tw
+        cnt = np.zeros(nblk * tpb, dtype=np.float64)
+        cnt[:sp.ntiles] = sp.tile_count
+        costs += w * cnt.reshape(nblk, tpb).sum(axis=1)
+    return costs
 
 
-def make_sharded_forward(model, mesh: Mesh, external_kmax: bool = False):
+def _balance_blocks(costs: np.ndarray, ndev: int):
+    """Greedy LPT with equal per-device counts: blocks sorted by cost
+    descending, each assigned to the least-loaded device that still has
+    free slots.  Returns ((ndev, nblk/ndev) ascending block indices,
+    (ndev,) assigned cost per device)."""
+    nblk = len(costs)
+    cap = nblk // ndev
+    order = np.argsort(-np.asarray(costs), kind="stable")
+    loads = np.zeros(ndev)
+    counts = np.zeros(ndev, dtype=np.int64)
+    out = [[] for _ in range(ndev)]
+    for b in order:
+        free = np.flatnonzero(counts < cap)
+        p = free[np.argmin(loads[free])]
+        out[p].append(int(b))
+        loads[p] += costs[b]
+        counts[p] += 1
+    return np.array([sorted(o) for o in out], dtype=np.int64), loads
+
+
+def _tile_tensors_for(sp, flat_tiles: np.ndarray, dtype):
+    """Tile tensors for a permuted tile-index list; indices beyond
+    sp.ntiles are padding slots (mask forced empty)."""
+    valid = flat_tiles < sp.ntiles
+    t = fast._tile_tensors(sp, np.minimum(flat_tiles, sp.ntiles - 1),
+                           sp.lmax, dtype)
+    if not valid.all():
+        t = dict(t)
+        t["mask"] = t["mask"] & jnp.asarray(valid[:, None])
+    t["gidx"] = jnp.asarray(flat_tiles, dtype=jnp.int32)
+    return t
+
+
+def make_sharded_forward(model, mesh: Mesh, external_kmax: bool = False,
+                         balance: bool = True):
     """Jitted sharded spectrum step: (temps_raw, q) -> spectrum.
 
     With ``external_kmax`` the step takes a third argument — a per-layer
@@ -61,15 +104,18 @@ def make_sharded_forward(model, mesh: Mesh, external_kmax: bool = False):
     uses this to feed the cross-process-reduced kmax so every wavenumber
     band applies the same ethresh cutoff (extinction.c:467-470).
 
+    ``balance`` assigns blocks to devices by line-eval cost (see module
+    docstring); False keeps contiguous equal spans (debug/comparison).
+    The returned step carries ``step.eval_stats`` — per-device actual
+    line-eval counts and block assignment — for balance verification.
+
     ``model`` must be a TransitModel in mode="fast" (banded or not) or one
     with a loaded opacity grid (cfg.opacityfile — the reference's
     production interpolation mode, extinction.c:534-581; here the 4-D
     [L,T,M,W] grid is sharded over its wavenumber axis so each device
-    holds only its band).  The mesh needs a "wn" axis; radii are static
-    (file atmosphere geometry).  Every device owns a contiguous block of
-    ``span`` coarse bins; with banded plans each band's (power-of-two)
-    tile width divides the block size, so all bands' local outputs cover
-    the same bins.
+    holds only its band; grid interpolation costs the same per bin, so
+    blocks stay contiguous).  The mesh needs a "wn" axis; radii are
+    static (file atmosphere geometry).
     """
     grid_mode = model.ogrid is not None
     assert grid_mode or model.mode == "fast"
@@ -83,6 +129,8 @@ def make_sharded_forward(model, mesh: Mesh, external_kmax: bool = False):
 
     banded = (not grid_mode and
               getattr(model, "bplan", None) is not None)
+    eval_stats = None
+    blocks = None
     if grid_mode:
         # Opacity grid [L, T, M, W] sharded over W; pad W to ndev blocks:
         span = -(-n_coarse // ndev)
@@ -94,49 +142,82 @@ def make_sharded_forward(model, mesh: Mesh, external_kmax: bool = False):
         tile_args = {"og": og}
         og_temp = jnp.asarray(model.ogrid.temp, dtype=dtype)
         og_mol = jnp.asarray(model.grid_mol_idx)
-    elif banded:
-        bplan = model.bplan
-        B = max(p.tw for p in bplan.plans)
-        span = (-(-n_coarse // (ndev * B))) * B          # bins per device
-        tile_args = {}
-        band_meta = []          # per band: [(plan, ntl, keys, is_far), ...]
-        for i, p in enumerate(bplan.plans):
-            far = (bplan.far_plans[i]
-                   if bplan.far_plans is not None else None)
-            subs = [(p, False, f"b{i}_")]
-            if far is not None:
-                subs += [(fp, True, f"b{i}{tag}_")
-                         for tag, fp in zip(("L", "R"), far)
-                         if fp is not None]
-            metas = []
-            for sp, is_far, prefix in subs:
-                assert B % sp.tw == 0, \
-                    "band tile widths must divide the block"
-                ntl = span // sp.tw
-                ntp = ndev * ntl
-                t = fast._tile_tensors(sp, np.arange(sp.ntiles), sp.lmax,
-                                       dtype)
-                pad = ntp - sp.ntiles
-                if pad:
-                    t = {k: jnp.concatenate(
-                        [v, jnp.zeros((pad,) + v.shape[1:], v.dtype)],
-                        axis=0) for k, v in t.items()}
-                keys = {k: prefix + k for k in t}
-                tile_args.update({keys[k]: v for k, v in t.items()})
-                metas.append((sp, ntl, keys, is_far))
-            band_meta.append(metas)
-        shared = {k: v for k, v in model.bdev[0].items()
-                  if k not in ("classes", "wavn", "elow", "gf", "iso",
-                               "mask", "farL", "farR")}
-        perm = np.asarray(bplan.perm)
-        inv_perm = jnp.asarray(bplan.inv_perm)
     else:
-        assert model.fplan is not None
-        d, ntiles_p = _pad_tiles(model, ndev)
-        plan = model.fplan
-        span = (ntiles_p // ndev) * plan.tw
-        tile_args = {k: d[k] for k in ("wavn", "elow", "gf", "iso", "mask")}
-        shared = {k: d[k] for k in d if k not in tile_args}
+        if banded:
+            bplan = model.bplan
+            B = max(p.tw for p in bplan.plans)
+            band_subs = []      # per band: [(plan, is_far, prefix), ...]
+            cost_subs = []      # (plan, layer-weight) for block costs
+            for i, p in enumerate(bplan.plans):
+                far = (bplan.far_plans[i]
+                       if bplan.far_plans is not None else None)
+                subs = [(p, False, f"b{i}_")]
+                if far is not None:
+                    subs += [(fp, True, f"b{i}{tag}_")
+                             for tag, fp in zip(("L", "R"), far)
+                             if fp is not None]
+                band_subs.append(subs)
+                a, b = bplan.slices[i]
+                for sp, _, _ in subs:
+                    assert B % sp.tw == 0, \
+                        "band tile widths must divide the block"
+                    cost_subs.append((sp, float(b - a)))
+        else:
+            assert model.fplan is not None
+            plan = model.fplan
+            B = plan.tw
+            cost_subs = [(plan, float(nl))]
+
+        span = (-(-n_coarse // (ndev * B))) * B          # bins per device
+        nblk_local = span // B
+        nblk = ndev * nblk_local
+        costs = _block_costs(cost_subs, nblk, B)
+        if balance and ndev > 1:
+            blocks, loads = _balance_blocks(costs, ndev)
+        else:
+            blocks = np.arange(nblk).reshape(ndev, nblk_local)
+            loads = costs.reshape(ndev, nblk_local).sum(axis=1)
+        eval_stats = {"actual_evals": loads, "blocks": blocks,
+                      "block_costs": costs}
+        bins_dev = (blocks[:, :, None] * B +
+                    np.arange(B)[None, None, :]).reshape(ndev, span)
+        tile_args = {"bins": jnp.asarray(bins_dev.reshape(-1),
+                                         dtype=jnp.int32)}
+        # Gather order -> grid order: position of each global bin in the
+        # concatenated per-device outputs:
+        pos = np.empty(ndev * span, dtype=np.int64)
+        pos[bins_dev.reshape(-1)] = np.arange(ndev * span)
+        unperm = jnp.asarray(pos[:n_coarse])
+
+        def sub_tiles(sp):
+            """Per-device tile list for a subplan under the assignment."""
+            tpb = B // sp.tw
+            return (blocks[:, :, None] * tpb +
+                    np.arange(tpb)[None, None, :]).reshape(-1)
+
+        if banded:
+            band_meta = []      # per band: [(plan, ntl, keys, is_far)]
+            for i, subs in enumerate(band_subs):
+                metas = []
+                for sp, is_far, prefix in subs:
+                    ntl = nblk_local * (B // sp.tw)
+                    t = _tile_tensors_for(sp, sub_tiles(sp), dtype)
+                    keys = {k: prefix + k for k in t}
+                    tile_args.update({keys[k]: v for k, v in t.items()})
+                    metas.append((sp, ntl, keys, is_far))
+                band_meta.append(metas)
+            shared = {k: v for k, v in model.bdev[0].items()
+                      if k not in ("classes", "wavn", "elow", "gf", "iso",
+                                   "mask", "farL", "farR")}
+            perm = np.asarray(bplan.perm)
+            inv_perm = jnp.asarray(bplan.inv_perm)
+        else:
+            ntl_flat = nblk_local            # tpb == 1 for the flat plan
+            t = _tile_tensors_for(plan, sub_tiles(plan), dtype)
+            tile_args.update(t)
+            shared = {k: v for k, v in model.fdev.items()
+                      if k not in ("classes", "wavn", "elow", "gf", "iso",
+                                   "mask", "gidx")}
 
     mol_mass = jnp.asarray(model.mol.mass, dtype=dtype)
     mol_radius = jnp.asarray(model.mol.radius, dtype=dtype)
@@ -182,29 +263,34 @@ def make_sharded_forward(model, mesh: Mesh, external_kmax: bool = False):
                 ex_b = 0.0
                 for p, ntl, keys, is_far in metas:
                     ldev = dict(shared,
-                                **{k: tiles[keys[k]] for k in keys})
+                                **{k: tiles[keys[k]] for k in keys
+                                   if k != "gidx"})
                     if prep is None:
                         prep = fast._prep_layers(p, ldev, *args,
                                                  line_chunk=512,
                                                  kmax_override=kov)
                     ex_b = ex_b + fast.fast_extinction_tiles(
-                        p, ldev, *args, tile0=widx * ntl, ntiles=ntl,
-                        prep=prep,
+                        p, ldev, *args, gidx=tiles[keys["gidx"]],
+                        ntiles=ntl, prep=prep,
                         voigt_fn=(voigt_k_humlicek_r2 if is_far
                                   else voigt_k_humlicek), **kw)
                 rows.append(ex_b)
             ex = jnp.concatenate(rows, axis=0)[inv_perm]    # (nl, span)
         else:
-            ldev = dict(shared, **tiles)
-            ntl = span // plan.tw
+            ldev = dict(shared, **{k: tiles[k]
+                                   for k in ("wavn", "elow", "gf", "iso",
+                                             "mask")})
             ex = fast.fast_extinction_tiles(
                 plan, ldev, temps_cgs, densities, Z, molm, mol_radius,
-                tile0=widx * ntl, ntiles=ntl,
+                gidx=tiles["gidx"], ntiles=ntl_flat,
                 kmax_override=(kmax_full if external_kmax else None),
                 **kw)                                        # (nl, span)
 
-        wn_local = (wn_i + dwn * (widx * span +
-                                  jnp.arange(span, dtype=dtype)))
+        if grid_mode:
+            wn_local = (wn_i + dwn * (widx * span +
+                                      jnp.arange(span, dtype=dtype)))
+        else:
+            wn_local = wn_i + dwn * tiles["bins"].astype(dtype)
         wns_cgs = wn_local * model.wns.fct
 
         # Raw (file-unit) p/T, as the reference feeds computeextscat
@@ -229,9 +315,8 @@ def make_sharded_forward(model, mesh: Mesh, external_kmax: bool = False):
 
         if model.solution == "eclipse":
             temp_rev = temps_cgs[::-1]
-            intens = jnp.stack([
-                eclipse_intensity(tau, last, wns_cgs, temp_rev, a)
-                for a in model.angles])
+            intens = eclipse_intensities(tau, last, wns_cgs, temp_rev,
+                                         model.angles)
             return flux(intens, model.angles)
         srad = cfg.starrad * SUNRADIUS
         return modulation(tau, last, ips, model.rfct, srad, cfg.toomuch,
@@ -251,7 +336,7 @@ def make_sharded_forward(model, mesh: Mesh, external_kmax: bool = False):
         @jax.jit
         def step_impl(targs, temps_raw, q, kmax_full):
             spec = fn(targs, temps_raw, q, kmax_full)
-            return spec[:n_coarse]
+            return (spec[:n_coarse] if grid_mode else spec[unperm])
 
         def step(temps_raw, q, kmax_full):
             return step_impl(tile_args, temps_raw, q, kmax_full)
@@ -259,9 +344,10 @@ def make_sharded_forward(model, mesh: Mesh, external_kmax: bool = False):
         @jax.jit
         def step_impl(targs, temps_raw, q):
             spec = fn(targs, temps_raw, q, jnp.zeros(nl, dtype=dtype))
-            return spec[:n_coarse]
+            return (spec[:n_coarse] if grid_mode else spec[unperm])
 
         def step(temps_raw, q):
             return step_impl(tile_args, temps_raw, q)
 
+    step.eval_stats = eval_stats
     return step

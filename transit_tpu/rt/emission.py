@@ -8,6 +8,7 @@ early-stop becomes a mask.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from transit_tpu.constants import H, LS, KB, PI, DEGREES
@@ -31,8 +32,13 @@ def eclipse_intensity(tau, last, wns_cgs, temp_rev, angle_deg):
         (temp[rnn-1-i] in eclipse.c:155).
     Returns (nwn,) intensity.
     """
-    nwn, nrad = tau.shape
     mu = np.cos(angle_deg * DEGREES)
+    return _intensity_mu(tau, last, wns_cgs, temp_rev, mu)
+
+
+def _intensity_mu(tau, last, wns_cgs, temp_rev, mu):
+    """eclipse_intensity with mu = cos(angle) as a (traceable) scalar."""
+    nwn, nrad = tau.shape
     dtau = jnp.exp(-tau / mu)                        # (nwn, nrad)
     B = planck(wns_cgs[:, None], temp_rev[None, :])  # (nwn, nrad)
 
@@ -45,6 +51,19 @@ def eclipse_intensity(tau, last, wns_cgs, temp_rev, angle_deg):
     mask = idx[None, 1:] <= last[:, None]
     integral = jnp.sum(jnp.where(mask, seg, 0.0), axis=1)
     return blast * dlast - integral
+
+
+def eclipse_intensities(tau, last, wns_cgs, temp_rev, angles_deg):
+    """All raygrid angles at once: (nangle, nwn) intensity.
+
+    vmap over mu = cos(angle) replaces the reference's per-angle loop
+    (eclipse.c:117-143) — one compiled subgraph instead of nangle
+    near-identical unrolled copies."""
+    mus = jnp.cos(jnp.asarray(np.asarray(angles_deg, dtype=np.float64) *
+                              DEGREES, dtype=tau.dtype))
+    return jax.vmap(_intensity_mu,
+                    in_axes=(None, None, None, None, 0))(
+        tau, last, wns_cgs, temp_rev, mus)
 
 
 def flux(intensities, angles_deg):

@@ -30,6 +30,11 @@ def set_verbosity(verb: int):
     logger.setLevel(_LEVELS.get(int(verb), logging.INFO))
 
 
+def warn(msg: str, *args):
+    """tr_output(TOUT_WARN, ...) analogue (transitstd.c:30-83)."""
+    logger.warning(msg, *args)
+
+
 class Timers:
     """Stage wall-clock checkpoints (transitstd.c timestart/timecheck)."""
 
