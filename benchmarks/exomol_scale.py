@@ -51,13 +51,19 @@ def make(nlines=100_000_000, data_dir=DATA):
     parts = [rng.uniform(WN_LO, WN_HI, nuni)]
     for c, w in CENTERS:
         parts.append(np.clip(rng.normal(c, w, per), WN_LO - 20, WN_HI + 20))
+        print(f"  + cluster {c}: {time.time()-t0:.1f}s "
+              f"(RSS {rss_gb():.1f} GB)", flush=True)
     wn = np.concatenate(parts)[:nlines]
     del parts
     n = wn.shape[0]
     wl = 1e4 / wn
     del wn
+    print(f"  wl ready: {time.time()-t0:.1f}s (RSS {rss_gb():.1f} GB)",
+          flush=True)
     isoid = (rng.random(n) < 0.02).astype(np.int16)   # 2% secondary isotope
     elow = rng.uniform(0.0, 9000.0, n)
+    print(f"  elow ready: {time.time()-t0:.1f}s (RSS {rss_gb():.1f} GB)",
+          flush=True)
     gf = 10.0 ** rng.uniform(-10.0, -2.0, n)
     print(f"generated {n} lines in {time.time()-t0:.1f}s "
           f"(RSS {rss_gb():.1f} GB)", flush=True)

@@ -62,7 +62,7 @@ def main():
     target = spectrum(dev, t_true)
     norm = jnp.mean(target ** 2)
 
-    def loss_one(logt):
+    def loss_one(dev, logt):
         return jnp.mean((spectrum(dev, jnp.exp(logt)) - target) ** 2) / norm
 
     # A batch of independent chains from different perturbed starts
@@ -74,13 +74,15 @@ def main():
                      rng.uniform(-0.08, 0.08, (batch, t_true.shape[0])),
                      model.dtype)
 
-    @jax.jit
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=(2,))
     def chain(dev, x0, nsteps):
         def update(carry, _):
             x, state = carry
-            val, g = jax.vmap(jax.value_and_grad(loss_one))(x), None
-            # vmap(value_and_grad) returns ((vals, grads)); unpack:
-            (vals, grads) = val
+            vals, grads = jax.vmap(
+                jax.value_and_grad(loss_one, argnums=1),
+                in_axes=(None, 0))(dev, x)
             ups, new_state = opt.update(grads, state)
             return (optax.apply_updates(x, ups), new_state), jnp.mean(vals)
         state = opt.init(x0)

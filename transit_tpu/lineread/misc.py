@@ -80,9 +80,13 @@ class RepackReader(DbReader):
              ("iso", "<i4")]), mode="r")
         iwn = 1.0 / (fwl * MTC)
         fwn = 1.0 / (iwl * MTC)
-        # Records are sorted by wavenumber — binary search the window:
-        lo = np.searchsorted(rec["wn"], iwn, side="left")
-        hi = np.searchsorted(rec["wn"], fwn, side="right")
+        # Records are sorted by wavenumber — binary search the window.
+        # bisect_mm, not np.searchsorted: rec["wn"] is a STRIDED view of
+        # the memmap, which searchsorted would copy wholesale (the full
+        # wn column of a multi-GB repack file) on every call:
+        from transit_tpu.io.tli import bisect_mm
+        lo = bisect_mm(rec["wn"], iwn, side="left")
+        hi = bisect_mm(rec["wn"], fwn, side="right")
         r = rec[lo:hi]
         wl = 1e4 / r["wn"]
         isoid = np.array([self._code_to_idx[int(i)] for i in r["iso"]],

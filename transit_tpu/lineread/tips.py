@@ -94,10 +94,13 @@ def rigid_rotor_source(q0=100.0, t0=296.0, power=1.5, temps=None):
 # harmonic product over fundamentals, and Q296 HITRAN's published
 # molparam.txt value (data below), so the absolute normalization is exact
 # at the reference temperature and all state-independent factors (gi,
-# symmetry numbers) cancel.  Residual deviations from TIPS come from
-# anharmonicity and rovibrational interaction: well under 1% below
-# ~1000 K, a few % toward 3000 K — versus tens of percent for the
-# rigid-rotor power law.
+# symmetry numbers) cancel.  The rotational shapes are PINNED per
+# molecule at retrieval temperatures (tests/test_tips.py): the explicit
+# level sums against Euler-Maclaurin closed forms, the classical-top
+# formulas against explicit (J,K) sums and full asymmetric-rotor
+# diagonalization — all within 1% at 2000-3000 K.  Residual deviation
+# from TIPS is anharmonicity/rovibrational interaction (a few % toward
+# 3000 K) — versus tens of percent for the rigid-rotor power law.
 
 HCK = 1.4387769           # h c / k in cm K (second radiation constant)
 
@@ -287,8 +290,9 @@ def statmech_source(molecule, temps=None):
     return source
 
 
-# Rough power-law defaults by molecule shape (approximation only):
-_POWER = {"CO": 1.0, "HCN": 1.0, "CO2": 1.1, "C2H2": 1.2}
+# Rough power-law defaults by molecule shape, for unknown molecules
+# only (everything named here or in MOL_CONST resolves properly):
+_POWER = {"CS": 1.0, "HCl": 1.0, "HF": 1.0, "OCS": 1.1, "N2O": 1.1}
 
 
 def default_source(molecule, iso_names):

@@ -441,8 +441,14 @@ def _run_tiles(plan: FastPlan, d, dtiles, gidx, lmax: int, prep,
             # Lines ride the last (128-lane) axis; tw bins on sublanes:
             dist = jnp.abs(wn_blk[:, :, None] - wv[:, None, :])  # (tb,tw,lc)
             inv_aD = 1.0 / aD
-            x = (SQRTLN2 * dist[:, None] *
-                 inv_aD[:, :, None, :])                  # (tb, nl, tw, lc)
+            # Clamp: padding lanes can reach x ~ 4e9 (bin-to-dummy-line
+            # distance over a minimal Doppler width), where |t|^4 inside
+            # the Humlicek rational overflows float32 and NaNs the
+            # backward pass; every physically used x (wing cutoff
+            # nwidth*max(aD,aL)/aD) is orders of magnitude below 1e8:
+            x = jnp.minimum(SQRTLN2 * dist[:, None] *
+                            inv_aD[:, :, None, :],
+                            jnp.asarray(1e8, dtype))     # (tb, nl, tw, lc)
             y = SQRTLN2 * (aL * inv_aD)
             prof = (voigt_fn(x, y[:, :, None, :]) *
                     inv_aD[:, :, None, :])
@@ -467,10 +473,17 @@ def _run_tiles(plan: FastPlan, d, dtiles, gidx, lmax: int, prep,
     blocks = (wv_t.reshape(nb, tb, lmax), el_t.reshape(nb, tb, lmax),
               gf_t.reshape(nb, tb, lmax), iso_t.reshape(nb, tb, lmax),
               msk_t.reshape(nb, tb, lmax), gidx_t.reshape(nb, tb))
+    # Remat each tile block: without it, reverse-mode through the block
+    # loop stores every block's (tb, nl, tw, lc) Voigt intermediates —
+    # the FULL eval volume (tens of GB per spectrum; a vmapped batch-32
+    # gradient asked for 176 GB of HBM).  With checkpoint the backward
+    # recomputes one block at a time, capping residuals at one block's
+    # eval budget (~tens of MB) for ~1.3x extinction FLOPs:
+    block_ck = jax.checkpoint(block_fn)
     if nb == 1:
-        out = block_fn(tuple(a[0] for a in blocks))
+        out = block_ck(tuple(a[0] for a in blocks))
     else:
-        out = jax.lax.map(block_fn, blocks)              # (nb, tb, nl, tw)
+        out = jax.lax.map(block_ck, blocks)              # (nb, tb, nl, tw)
         out = out.reshape(nb * tb, nlayer, tw)
     return out[:nt]
 

@@ -161,12 +161,24 @@ def voigt_k_humlicek(x, y):
     # poison gradients through jnp.where):
     m = jnp.where
 
-    # Region II (s >= 5.5): w = t (1.410474 + 0.5641896 u) / (0.75 + u (3 + u))
-    u2r, u2i = m(in2, ur, 1.0), m(in2, ui, 0.0)
+    # Region II (s >= 5.5): w = t (1.410474 + 0.5641896 u) / (0.75 + u (3 + u)),
+    # computed through v = 1/u — in-region |u| = |t|^2 >= 15, so
+    # |v| <= 1/15 and every intermediate stays bounded:
+    #     w = t (1.410474 v^2 + 0.5641896 v) / (1 + 3 v + 0.75 v^2).
+    # The direct form squares u, which overflows float32 once |x| >~ 6e4;
+    # masked padding lanes reach |x| ~ 1e8+, and inf * 0 from the
+    # overflow poisons the BACKWARD pass with NaN even though the masked
+    # primal is fine (retrieval gradients; VERDICT r3 item 1).
+    u2r, u2i = m(in2, ur, 16.0), m(in2, ui, 0.0)
     t2r, t2i = m(in2, tr, 1.0), m(in2, ti, 0.0)
-    n2r, n2i = cmul(t2r, t2i, 1.410474 + 0.5641896 * u2r, 0.5641896 * u2i)
-    q2r, q2i = cmul(u2r, u2i, 3.0 + u2r, u2i)
-    d2r, d2i = 0.75 + q2r, q2i
+    uinv = 1.0 / (u2r * u2r + u2i * u2i)
+    vr, vi = u2r * uinv, -u2i * uinv
+    v2r, v2i = cmul(vr, vi, vr, vi)
+    n2r, n2i = cmul(t2r, t2i,
+                    1.410474 * v2r + 0.5641896 * vr,
+                    1.410474 * v2i + 0.5641896 * vi)
+    d2r = 1.0 + 3.0 * vr + 0.75 * v2r
+    d2i = 3.0 * vi + 0.75 * v2i
 
     # Region III: degree-4 / degree-5 rational in t:
     t3r, t3i = m(in3, tr, 1.0), m(in3, ti, 0.0)
@@ -216,15 +228,22 @@ def voigt_k_humlicek_r2(x, y):
     x = x.astype(dtype)
     y = jnp.broadcast_to(y.astype(dtype), x.shape)
 
+    # Same v = 1/u form as the full kernel's region II (|u| >= 15 when
+    # s >= 5.5): the direct u^2 form overflows float32 for |x| >~ 6e4
+    # and NaNs the backward pass through masked far/padding lanes:
     tr, ti = y, -x
     ur = (y - x) * (y + x)
     ui = -2.0 * x * y
-    nr = tr * (1.410474 + 0.5641896 * ur) - ti * (0.5641896 * ui)
-    ni = tr * (0.5641896 * ui) + ti * (1.410474 + 0.5641896 * ur)
-    qr = ur * (3.0 + ur) - ui * ui
-    qi = ur * ui + ui * (3.0 + ur)
-    dr = 0.75 + qr
-    di = qi
+    uinv = 1.0 / (ur * ur + ui * ui)
+    vr, vi = ur * uinv, -ui * uinv
+    v2r = vr * vr - vi * vi
+    v2i = 2.0 * vr * vi
+    cr = 1.410474 * v2r + 0.5641896 * vr
+    ci = 1.410474 * v2i + 0.5641896 * vi
+    nr = tr * cr - ti * ci
+    ni = tr * ci + ti * cr
+    dr = 1.0 + 3.0 * vr + 0.75 * v2r
+    di = 3.0 * vi + 0.75 * v2i
     return SQRTLN2PI * (nr * dr + ni * di) / (dr * dr + di * di)
 
 

@@ -38,7 +38,7 @@ from jax.sharding import Mesh
 
 from transit_tpu.constants import TLI_WAV_UNITS
 from transit_tpu import grids
-from transit_tpu.io.tli import read_tli_header, read_tli_band
+from transit_tpu.io.tli import bisect_mm, read_tli_header, read_tli_band
 from transit_tpu.io.atmosphere import read_atmosphere
 from transit_tpu.opacities import fast
 from transit_tpu.parallel.sharded import make_sharded_forward
@@ -77,13 +77,14 @@ def balanced_blocks(tli_path: str, wns_v: np.ndarray, nproc: int,
     starts = np.concatenate([[0], np.cumsum(isotran.astype(np.int64))])
 
     def lines_below(wn):
-        """Lines with wavenumber <= wn (wavelength >= 1/wn)."""
+        """Lines with wavenumber <= wn (wavelength >= 1/wn).  bisect_mm,
+        not np.searchsorted: the unaligned TLI memmap would otherwise be
+        COPIED wholesale on every probe (io/tli.py:bisect_mm)."""
         wl_x = 1.0 / wn / TLI_WAV_UNITS
         tot = 0
         for i in range(len(isotran)):
             blk = wl_mm[starts[i]:starts[i + 1]]
-            tot += int(blk.shape[0]) - int(
-                np.searchsorted(blk, wl_x, side="left"))
+            tot += int(blk.shape[0]) - bisect_mm(blk, wl_x, side="left")
         return tot
 
     g_lo = lines_below(float(wns_v[0]))
