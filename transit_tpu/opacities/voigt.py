@@ -113,22 +113,13 @@ def voigt_k(x, y):
     return jnp.where(in1, k1, jnp.where(in2, k2, k3))
 
 
-def voigt_k_humlicek(x, y):
-    """K(x,y) = sqrt(ln2/pi) Re[w(x+iy)] via the Humlicek (1982) w4
-    rational approximation — branch-free, restructured for the VPU:
+def _humlicek_w(x, y):
+    """Humlicek (1982) w4 as a real pair: (Re w(x+iy), Im w(x+iy)).
 
-      * region I (s >= 15), an asymptotic *shortcut* of region II in the
-        scalar original, is folded into region II (whose rational is valid
-        on all of s >= 5.5) — on SIMD hardware computing both is pure waste;
-      * the three remaining regions' complex rationals Re[n/d] share a
-        single real divide (numerator/denominator selected per lane), the
-        most expensive VPU op in the kernel.
-
-    Real-pair complex arithmetic throughout (complex dtypes don't compile
-    on this TPU backend).  ~10x cheaper than the Pierluisi power series of
-    :func:`voigt_k` (relative accuracy ~1e-4, ample for float32); used by
-    the fast production path.  voigt_k remains the reference-faithful
-    kernel (pu/src/voigt.c:132-200).
+    The body of :func:`voigt_k_humlicek`; the imaginary part costs two
+    extra multiply-adds on the shared divide plus one sin in region IV,
+    and feeds the analytic custom-VJP (the Faddeeva derivative identity
+    w'(z) = -2 z w(z) + 2i/sqrt(pi) needs both parts).
     """
     x = jnp.asarray(x)
     y = jnp.asarray(y)
@@ -197,31 +188,89 @@ def voigt_k_humlicek(x, y):
     p4r, p4i = horner(u4r, u4i, pc)
     q4r, q4i = horner(u4r, u4i, qc)
     n4r, n4i = cmul(t4r, t4i, p4r, p4i)
-    # Re(exp(u)) = exp(ur) cos(ui); in-region ur < 0 (y < 0.195|x|):
-    exp_re = jnp.exp(u4r) * jnp.cos(u4i)
+    # exp(u) = exp(ur) (cos ui + i sin ui); in-region ur < 0 (y < 0.195|x|):
+    eu = jnp.exp(u4r)
+    exp_re = eu * jnp.cos(u4i)
+    exp_im = eu * jnp.sin(u4i)
 
-    # One shared divide: Re(n/d) with n, d selected per lane:
+    # One shared divide: n/d with n, d selected per lane:
     nr = m(in2, n2r, m(in4, n4r, n3r))
     ni = m(in2, n2i, m(in4, n4i, n3i))
     dr = m(in2, d2r, m(in4, q4r, d3r))
     di = m(in2, d2i, m(in4, q4i, d3i))
-    re = (nr * dr + ni * di) / (dr * dr + di * di)
-    w = jnp.where(in4, exp_re - re, re)
-    return SQRTLN2PI * w
+    dinv = 1.0 / (dr * dr + di * di)
+    re = (nr * dr + ni * di) * dinv
+    im = (ni * dr - nr * di) * dinv
+    wr = jnp.where(in4, exp_re - re, re)
+    wi = jnp.where(in4, exp_im - im, im)
+    return wr, wi
 
 
-def voigt_k_humlicek_r2(x, y):
-    """Region II of :func:`voigt_k_humlicek` alone: the |t| >= 5.5
-    asymptotic rational w = t (1.410474 + 0.5641896 u) / (0.75 + u (3 + u)),
-    u = t^2, t = y - ix.
+def _reduce_to(g, shape):
+    """Sum a broadcast gradient back down to an input's shape."""
+    shape = tuple(shape)
+    if g.shape == shape:
+        return g
+    nd = g.ndim - len(shape)
+    if nd:
+        g = g.sum(axis=tuple(range(nd)))
+    ax = tuple(i for i, s in enumerate(shape)
+               if s == 1 and g.shape[i] != 1)
+    if ax:
+        g = g.sum(axis=ax, keepdims=True)
+    return g
 
-    Valid (and bit-identical to the full kernel, which selects this same
-    branch) whenever s = |x| + y >= 5.5.  The fast extinction path uses it
-    for *far* lines — lines whose center is farther from every bin of a
-    tile than the host-computed margin 5.5/sqrt(ln2) * alphaD_max — where
-    computing regions III/IV (two degree-5..7 complex Horner chains plus
-    exp/cos) only to mask them out is ~4x wasted VPU work.
+
+@jax.custom_vjp
+def voigt_k_humlicek(x, y):
+    """K(x,y) = sqrt(ln2/pi) Re[w(x+iy)] via the Humlicek (1982) w4
+    rational approximation — branch-free, restructured for the VPU:
+
+      * region I (s >= 15), an asymptotic *shortcut* of region II in the
+        scalar original, is folded into region II (whose rational is valid
+        on all of s >= 5.5) — on SIMD hardware computing both is pure waste;
+      * the three remaining regions' complex rationals n/d share a
+        single real divide (numerator/denominator selected per lane), the
+        most expensive VPU op in the kernel.
+
+    Real-pair complex arithmetic throughout (complex dtypes don't compile
+    on this TPU backend).  ~10x cheaper than the Pierluisi power series of
+    :func:`voigt_k` (relative accuracy ~1e-4, ample for float32); used by
+    the fast production path.  voigt_k remains the reference-faithful
+    kernel (pu/src/voigt.c:132-200).
+
+    Reverse-mode gradients come from the Faddeeva derivative identity
+    w'(z) = -2 z w(z) + 2i/sqrt(pi) (custom VJP): ~10 flops from the
+    already-computed (Re w, Im w) instead of differentiating through
+    the rational chains — and it is the derivative of the TRUE Voigt
+    function to the approximation's own accuracy.  Forward-mode (jvp)
+    is not defined.
     """
+    return SQRTLN2PI * _humlicek_w(x, y)[0]
+
+
+def _vkh_fwd(x, y):
+    wr, wi = _humlicek_w(x, y)
+    return SQRTLN2PI * wr, (jnp.asarray(x), jnp.asarray(y), wr, wi)
+
+
+def _vkh_bwd(res, ct):
+    x, y, wr, wi = res
+    xb = jnp.broadcast_to(x.astype(wr.dtype), wr.shape)
+    yb = jnp.broadcast_to(y.astype(wr.dtype), wr.shape)
+    # dK/dx = C Re w' = -2C (x wr - y wi);
+    # dK/dy = C Re(i w') = 2C (x wi + y wr) - 2C/sqrt(pi):
+    gx = ct * (SQRTLN2PI * -2.0) * (xb * wr - yb * wi)
+    gy = ct * (SQRTLN2PI * 2.0 * (xb * wi + yb * wr) -
+               SQRTLN2PI * TWOOSQRTPI)
+    return _reduce_to(gx, x.shape), _reduce_to(gy, y.shape)
+
+
+voigt_k_humlicek.defvjp(_vkh_fwd, _vkh_bwd)
+
+
+def _humlicek_w_r2(x, y):
+    """Region II of the w4 pair alone (see voigt_k_humlicek_r2)."""
     x = jnp.asarray(x)
     y = jnp.asarray(y)
     dtype = jnp.result_type(x, y)
@@ -244,7 +293,34 @@ def voigt_k_humlicek_r2(x, y):
     ni = tr * ci + ti * cr
     dr = 1.0 + 3.0 * vr + 0.75 * v2r
     di = 3.0 * vi + 0.75 * v2i
-    return SQRTLN2PI * (nr * dr + ni * di) / (dr * dr + di * di)
+    dinv = 1.0 / (dr * dr + di * di)
+    return ((nr * dr + ni * di) * dinv,
+            (ni * dr - nr * di) * dinv)
+
+
+@jax.custom_vjp
+def voigt_k_humlicek_r2(x, y):
+    """Region II of :func:`voigt_k_humlicek` alone: the |t| >= 5.5
+    asymptotic rational w = t (1.410474 + 0.5641896 u) / (0.75 + u (3 + u)),
+    u = t^2, t = y - ix.
+
+    Valid (and bit-identical to the full kernel, which selects this same
+    branch) whenever s = |x| + y >= 5.5.  The fast extinction path uses it
+    for *far* lines — lines whose center is farther from every bin of a
+    tile than the host-computed margin 5.5/sqrt(ln2) * alphaD_max — where
+    computing regions III/IV (two degree-5..7 complex Horner chains plus
+    exp/cos) only to mask them out is ~4x wasted VPU work.  Gradients
+    via the same Faddeeva-identity custom VJP as the full kernel.
+    """
+    return SQRTLN2PI * _humlicek_w_r2(x, y)[0]
+
+
+def _vkh2_fwd(x, y):
+    wr, wi = _humlicek_w_r2(x, y)
+    return SQRTLN2PI * wr, (jnp.asarray(x), jnp.asarray(y), wr, wi)
+
+
+voigt_k_humlicek_r2.defvjp(_vkh2_fwd, _vkh_bwd)
 
 
 def voigt_profile(wn, wn0, alphaL, alphaD):
