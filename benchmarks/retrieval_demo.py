@@ -10,6 +10,11 @@ Reports: convergence (max |T/T*-1|) and optimizer throughput in
 gradient steps/s and spectra/s (batch x value_and_grad per step).
 
 Usage: python benchmarks/retrieval_demo.py [--batch N] [--steps N] [--cpu]
+                                           [--hj]
+
+--hj swaps in the multi-molecule hot-Jupiter workload (19001 wn x
+100 layers x 200k lines, H2O+CO+CO2+CH4) — the BASELINE workload-3
+shape — to show gradient retrieval at production scale.
 """
 
 import os
@@ -37,19 +42,33 @@ def main():
 
     from transit_tpu import enable_compilation_cache
     enable_compilation_cache()
-    from benchmarks.make_workload import (make, DATA, WN_LO, WN_HI,
-                                          WN_DELT, WNOSAMP)
     from transit_tpu.config import TransitConfig
     from transit_tpu.model import TransitModel
 
-    if not os.path.exists(os.path.join(DATA, "bench.tli")):
-        make()
-    cfg = TransitConfig(
-        atm=f"{DATA}/bench.atm", linedb=f"{DATA}/bench.tli",
-        csfile=f"{DATA}/bench_cia.dat", molfile=f"{DATA}/molecules.dat",
-        wnlow=WN_LO, wnhigh=WN_HI, wndelt=WN_DELT, wnosamp=WNOSAMP,
-        wnfct=1.0, nwidth=20.0, ethreshold=1e-8,
-        solution="eclipse", toomuch=1e30)
+    if "--hj" in sys.argv:
+        from benchmarks.make_hotjupiter import make, DATA as HJ, WN_LO, \
+            WN_HI
+        if not os.path.exists(os.path.join(HJ, "hj.tli")):
+            make()
+        cfg = TransitConfig(
+            atm=f"{HJ}/hj.atm", linedb=f"{HJ}/hj.tli",
+            csfile=f"{HJ}/cia_H2_H2.dat,{HJ}/cia_H2_He.dat",
+            molfile=f"{HJ}/molecules.dat",
+            wnlow=WN_LO, wnhigh=WN_HI, wndelt=0.5, wnosamp=2160,
+            wnfct=1.0, nwidth=20.0, ethreshold=1e-8,
+            solution="eclipse", toomuch=1e30)
+    else:
+        from benchmarks.make_workload import (make, DATA, WN_LO, WN_HI,
+                                              WN_DELT, WNOSAMP)
+        if not os.path.exists(os.path.join(DATA, "bench.tli")):
+            make()
+        cfg = TransitConfig(
+            atm=f"{DATA}/bench.atm", linedb=f"{DATA}/bench.tli",
+            csfile=f"{DATA}/bench_cia.dat",
+            molfile=f"{DATA}/molecules.dat",
+            wnlow=WN_LO, wnhigh=WN_HI, wndelt=WN_DELT, wnosamp=WNOSAMP,
+            wnfct=1.0, nwidth=20.0, ethreshold=1e-8,
+            solution="eclipse", toomuch=1e30)
     model = TransitModel(cfg, dtype=jnp.float32, mode="fast", bands=6)
     dev = model.device_tree()
     t_true = jnp.asarray(model.atm.temp, model.dtype)

@@ -294,3 +294,22 @@ def test_band_reader_beyond_4gib_offsets(tmp_path):
     assert np.all(band.isoid == 0)
     # A window bisecting into the hole returns nothing, not garbage:
     assert read_tli_band(path, 2.0, 2.9).n_lines == 0
+
+
+def test_bisect_mm_matches_searchsorted():
+    """bisect_mm (the unaligned/strided-safe searchsorted replacement)
+    must agree with np.searchsorted on both sides for edge cases:
+    duplicates, out-of-range probes, empty blocks."""
+    from transit_tpu.io.tli import bisect_mm
+    rng = np.random.default_rng(2)
+    blk = np.sort(rng.uniform(0.0, 10.0, 500))
+    blk[100:110] = blk[100]                 # duplicates
+    blk = np.sort(blk)
+    probes = np.concatenate([rng.uniform(-1.0, 11.0, 200),
+                             blk[[0, 99, 100, 250, 499]],
+                             [blk[0] - 1, blk[-1] + 1]])
+    for x in probes:
+        for side in ("left", "right"):
+            assert bisect_mm(blk, x, side) == int(
+                np.searchsorted(blk, x, side=side)), (x, side)
+    assert bisect_mm(np.empty(0), 1.0) == 0

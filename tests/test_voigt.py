@@ -102,3 +102,24 @@ def test_profile_table_dedup_and_layout():
             prof = t.flat[b:b + 2 * half + 1]
             assert prof.shape[0] == 2 * half + 1
             assert prof[half] == prof.max()
+
+
+def test_humlicek_finite_value_and_grad_everywhere():
+    """Regression (round 4): masked/padding lanes hand the fast kernels
+    arbitrary (x, y) — including far-tile padding duplicates sitting ON
+    a bin (x ~ 0, y ~ 1e-8, where |t|^4 underflows float32) and
+    bin-to-dummy distances (x ~ 1e8, where it overflows).  Both kernels
+    must return finite values AND finite reverse-mode gradients over
+    the whole float32 (x, y) plane; NaN at any weight-zero lane
+    poisons the spectrum through 0 * NaN."""
+    import jax
+    from transit_tpu.opacities.voigt import (voigt_k_humlicek,
+                                             voigt_k_humlicek_r2)
+    xs = jnp.asarray(10.0 ** np.linspace(-8, 8, 300), jnp.float32)
+    for yv in (1e-8, 1e-4, 1e-2, 1.0, 1e2, 1e6):
+        y = jnp.full_like(xs, yv)
+        for fn in (voigt_k_humlicek, voigt_k_humlicek_r2):
+            v = np.asarray(fn(xs, y))
+            g = np.asarray(jax.grad(lambda xx: jnp.sum(fn(xx, y)))(xs))
+            assert np.all(np.isfinite(v)), (fn.__name__, yv)
+            assert np.all(np.isfinite(g)), (fn.__name__, yv)

@@ -279,11 +279,19 @@ def _humlicek_w_r2(x, y):
 
     # Same v = 1/u form as the full kernel's region II (|u| >= 15 when
     # s >= 5.5): the direct u^2 form overflows float32 for |x| >~ 6e4
-    # and NaNs the backward pass through masked far/padding lanes:
+    # and NaNs the backward pass through masked far/padding lanes.
+    # |u|^2 is floored away from zero: far-tile PADDING lanes (clipped
+    # duplicate lines that can sit on top of a bin) reach s ~ 1e-8
+    # where |t|^4 underflows to 0 and 1/0 * 0 NaNs even the primal —
+    # those lanes are zero-weighted, they just must stay finite.  Valid
+    # lanes have |u|^2 >= 900, so flooring at 1 never touches them —
+    # and it also bounds |v| <= |u| <= 1 on junk lanes, keeping the
+    # downstream rational finite too:
     tr, ti = y, -x
     ur = (y - x) * (y + x)
     ui = -2.0 * x * y
-    uinv = 1.0 / (ur * ur + ui * ui)
+    uinv = 1.0 / jnp.maximum(ur * ur + ui * ui,
+                             jnp.asarray(1.0, dtype))
     vr, vi = ur * uinv, -ui * uinv
     v2r = vr * vr - vi * vi
     v2i = 2.0 * vr * vi
