@@ -75,7 +75,11 @@ def time_steps(forward, temps, q, runs, dev=None, windows=7):
     # (measured: a "0.5 ms" blocked call whose np.asarray then waited
     # 154 s), so only a host read is a trustworthy fence.  The second
     # warmup absorbs the one-time argument-staging cost.
-    np.asarray(scan_steps(dev, tstack, q))  # compile + warmup
+    out0 = np.asarray(scan_steps(dev, tstack, q))  # compile + warmup
+    # The fence scalar is also a NaN tripwire: a non-finite spectrum
+    # would otherwise time perfectly and go unnoticed (a round-4 kernel
+    # regression NaN'd 95 hot-Jupiter bins without touching any rate):
+    assert np.all(np.isfinite(out0)), "benchmark spectrum is not finite"
     np.asarray(scan_steps(dev, tstack, q))  # absorb arg staging
     dts = []
     for _ in range(windows):
