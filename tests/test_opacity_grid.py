@@ -136,3 +136,50 @@ def test_fast_build_writes_reference_format(tmp_path):
     model = TransitModel(cfg)
     res = model.compute()
     assert np.all(np.isfinite(np.asarray(res.spectrum)))
+
+
+def test_mode_b_build_and_continue(tmp_path):
+    """Reference opacity mode (b), opacity.c:39-70: when ``opacityfile``
+    is specified but ABSENT (and not --justOpacity), one invocation must
+    compute the grid, write it, and continue to the spectrum served from
+    that grid.  The written grid must byte-match the two-step path
+    (--justOpacity build, then a separate grid-mode run), and the
+    spectrum must match the two-step run's output exactly."""
+    from tests.test_conformance import FIX
+    from transit_tpu import cli
+
+    common = [
+        "--atm", f"{FIX}/test.atm", "--linedb", f"{FIX}/test.tli",
+        "--csfile", f"{FIX}/test_cia.dat",
+        "--molfile", f"{FIX}/molecules.dat",
+        "--wnlow", "2000", "--wnhigh", "2100", "--wndelt", "1.0",
+        "--wnosamp", "216", "--wnfct", "1.0", "--ndop", "15",
+        "--nlor", "15", "--dmin", "1e-3", "--dmax", "0.25",
+        "--lmin", "1e-4", "--lmax", "10.0", "--nwidth", "20",
+        "--ethresh", "1e-8", "--solution", "eclipse",
+        "--toomuch", "1e30", "--raygrid", "0 20 40 60 80",
+        "--tlow", "1000", "--thigh", "2000", "--tempdelt", "100",
+        "--verb", "0",
+    ]
+
+    # Two-step path: --justOpacity build, then a grid-mode spectrum run:
+    grid2 = str(tmp_path / "two_step.bin")
+    spec2 = str(tmp_path / "two_step_spec.dat")
+    assert cli.main(common + ["--opacityfile", grid2,
+                              "--justOpacity"]) == 0
+    assert os.path.exists(grid2)
+    assert cli.main(common + ["--opacityfile", grid2,
+                              "--outspec", spec2]) == 0
+
+    # Mode (b): absent opacityfile, single run:
+    gridb = str(tmp_path / "mode_b.bin")
+    specb = str(tmp_path / "mode_b_spec.dat")
+    assert not os.path.exists(gridb)
+    assert cli.main(common + ["--opacityfile", gridb,
+                              "--outspec", specb]) == 0
+    assert os.path.exists(gridb), "mode (b) must leave the grid behind"
+
+    with open(gridb, "rb") as fb, open(grid2, "rb") as f2:
+        assert fb.read() == f2.read(), "grid bytes differ from two-step"
+    with open(specb) as fb, open(spec2) as f2:
+        assert fb.read() == f2.read(), "spectrum differs from two-step"

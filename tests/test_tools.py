@@ -75,3 +75,58 @@ def test_read_spectrum(tmp_path):
     wn, spec = ciaformat.read_spectrum(str(p))
     np.testing.assert_allclose(wn, [2000.0, 2500.0])
     np.testing.assert_allclose(spec, [10.0, 20.0])
+
+
+def _write_xsc(path, mol, wn_init, wn_fin, nwave, temp, vals):
+    """Synthetic HITRAN .xsc (Hargreaves-style header fields at the
+    fixed column offsets of scripts/HITRAN_CS_format.py:29-60, data
+    wrapped 10 per line)."""
+    hdr = (f"{mol:<20s}{wn_init:<10.1f}{wn_fin:<10.1f}{nwave:<7d}"
+           f"{temp:<7.1f}{760.0:<6.1f}{'':10s}{0.01:<5.2f}")
+    lines = [hdr]
+    for i in range(0, nwave, 10):
+        lines.append(" ".join(f"{v:.4e}" for v in vals[i:i + 10]))
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def test_hitran_xsc_to_cs(tmp_path):
+    wn_init, wn_fin, nwave = 1200.0, 1400.0, 27
+    wn = np.linspace(wn_init, wn_fin, nwave)
+    temps = [300.0, 500.0]
+    files = []
+    for t in temps:
+        vals = 1e-22 * (wn / 1000.0) * (t / 300.0)
+        p = tmp_path / f"CH4_{t:.0f}K.xsc"
+        _write_xsc(str(p), "CH4", wn_init, wn_fin, nwave, t, vals)
+        files.append(str(p))
+    out = tmp_path / "out.dat"
+    # Files deliberately in reverse order: converter must sort by T.
+    ciaformat.hitran_xsc_to_cs(files[::-1], str(out))
+    tb = read_cross_section(str(out))
+    assert tb.species == ["CH4"]
+    np.testing.assert_allclose(tb.temps, temps)
+    np.testing.assert_allclose(tb.wn, wn, atol=0.005)  # %10.2f format
+    np.testing.assert_allclose(
+        tb.cs[:, 0], 1e-22 * (wn / 1000.0) * ciaformat.N0, rtol=1e-3)
+    np.testing.assert_allclose(
+        tb.cs[:, 1], 1e-22 * (wn / 1000.0) * (500.0 / 300.0)
+        * ciaformat.N0, rtol=1e-3)
+
+
+def test_hitran_xsc_cli(tmp_path):
+    wn = np.linspace(100.0, 110.0, 11)
+    p = tmp_path / "x.xsc"
+    _write_xsc(str(p), "CO2", 100.0, 110.0, 11, 250.0, np.ones(11) * 1e-21)
+    out = tmp_path / "o.dat"
+    assert ciaformat.main(["hitran-xsc", str(p), str(out)]) == 0
+    tb = read_cross_section(str(out))
+    assert tb.species == ["CO2"]
+
+
+def test_hitran_xsc_mismatch_raises(tmp_path):
+    a, b = tmp_path / "a.xsc", tmp_path / "b.xsc"
+    _write_xsc(str(a), "CH4", 100.0, 110.0, 11, 250.0, np.ones(11))
+    _write_xsc(str(b), "CO2", 100.0, 110.0, 11, 300.0, np.ones(11))
+    with pytest.raises(ValueError):
+        ciaformat.hitran_xsc_to_cs([str(a), str(b)], str(tmp_path / "o"))

@@ -251,15 +251,25 @@ def main(argv=None):
     set_verbosity(cfg.verb)
     from transit_tpu.model import TransitModel
 
-    if cfg.justOpacity:
+    import os
+    if cfg.justOpacity or (cfg.opacityfile and
+                           not os.path.exists(cfg.opacityfile)):
+        # Reference opacity modes (opacity.c:39-70): --justOpacity stops
+        # after the build; a specified-but-absent opacityfile (mode b)
+        # computes the grid, writes it, and CONTINUES to the spectrum in
+        # the same run — the model below then reads the fresh grid and
+        # serves the spectrum by T-interpolation (extinction.c:534-581),
+        # exactly like a pre-existing-grid (mode c) invocation.
         from transit_tpu.opacities.grid import (build_opacity_grid,
                                                 build_opacity_grid_fast)
-        model = TransitModel(cfg, mode=mode, bands=bands)
+        build_model = TransitModel(cfg, mode=mode, bands=bands)
         if mode == "fast":
-            build_opacity_grid_fast(model, cfg.opacityfile)
+            build_opacity_grid_fast(build_model, cfg.opacityfile)
         else:
-            build_opacity_grid(model, cfg.opacityfile)
-        return 0
+            build_opacity_grid(build_model, cfg.opacityfile)
+        if cfg.justOpacity:
+            return 0
+        del build_model
 
     model = TransitModel(cfg, mode=mode, bands=bands)
     res = model.compute()

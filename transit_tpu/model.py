@@ -377,13 +377,23 @@ class TransitModel:
         dev = self.device_tree()
         return lambda t, q: jfn(dev, t, q)
 
-    def line_extinction(self, temps_cgs, densities, Z, dev=None):
+    def line_extinction(self, temps_cgs, densities, Z, dev=None,
+                        use_saveext: bool = False):
         """Per-layer line extinction (nlayer, nwn).  ``dev`` overrides
         the model's stored device arrays (device_tree) so jitted callers
-        can pass them as arguments instead of closure constants."""
+        can pass them as arguments instead of closure constants.
+
+        ``use_saveext`` gates the extinction-checkpoint restore: the
+        reference's savefile is valid only while the atmosphere (T, q)
+        is unchanged — e.g. radius-scale-only re-runs
+        (extinction.c:62-137, doc/changelog:28-30).  Only ``compute()``
+        (the static file atmosphere) enables it; ``forward`` never does,
+        because a restored host array would enter the traced graph as a
+        CONSTANT and silently zero all T/q gradients through the line
+        term."""
         nl = jnp.shape(temps_cgs)[0]
         # Extinction checkpoint (tau.c:155-156, extinction.c:96-137):
-        if self.cfg.saveext:
+        if use_saveext and self.cfg.saveext:
             from transit_tpu.utils.savefiles import load_extinction
             cached = load_extinction(self.cfg.saveext, self.atm.nlayers,
                                      self.wns.n)
@@ -432,16 +442,16 @@ class TransitModel:
 
     # ------------------------------------------------------------------
     def _spectrum(self, temps_raw, q, densities, radii, W, Wmod,
-                  full_result: bool, dev=None):
+                  full_result: bool, dev=None,
+                  use_saveext: bool = False):
         """Shared spectrum core; all array args may be traced."""
         atm = self.atm
         nl = atm.nlayers
         temps_cgs = temps_raw * atm.tfct
-        press_cgs = jnp.asarray(atm.press * atm.pfct, dtype=self.dtype)
         Z = self.partition_jnp(temps_raw)
 
-        ex = self.line_extinction(temps_cgs, densities, Z,
-                                  dev=dev)                   # (nl, nwn)
+        ex = self.line_extinction(temps_cgs, densities, Z, dev=dev,
+                                  use_saveext=use_saveext)   # (nl, nwn)
 
         wns_cgs = jnp.asarray(self.wns.v * self.wns.fct, dtype=self.dtype)
         # The reference feeds computeextscat the *raw* (file-unit) pressure
@@ -553,7 +563,7 @@ class TransitModel:
                 if self.Wmod is not None else None)
         radii = jnp.asarray(self.rads_v, dtype=self.dtype)
         res = self._spectrum(temps_raw, q, densities, radii, W, Wmod,
-                             full_result=True)
+                             full_result=True, use_saveext=True)
         if self.cfg.saveext:
             from transit_tpu.utils.savefiles import (save_extinction,
                                                      load_extinction)

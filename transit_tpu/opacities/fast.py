@@ -494,7 +494,8 @@ def fast_extinction_tiles(plan: FastPlan, d, temps, densities,
                           tile0=0, ntiles: int = None,
                           line_chunk: int = 512, eval_budget: int = 0,
                           prep=None, voigt_fn=voigt_k_humlicek,
-                          kmax_override=None, gidx=None):
+                          kmax_override=None, gidx=None,
+                          unit_density: bool = False):
     """Extinction (nlayer, ntiles*tw) for a device-local tile set.
 
     ``d`` holds this set's tile tensors (wavn/elow/gf/iso/mask, first dim
@@ -514,7 +515,8 @@ def fast_extinction_tiles(plan: FastPlan, d, temps, densities,
     if prep is None:
         prep = _prep_layers(plan, d, temps, densities, Z, mol_mass,
                             mol_radius, line_chunk,
-                            kmax_override=kmax_override)
+                            kmax_override=kmax_override,
+                            unit_density=unit_density)
     nlayer = prep["temps"].shape[0]
     if gidx is None:
         gidx = tile0 + jnp.arange(ntiles, dtype=jnp.int32)

@@ -102,6 +102,40 @@ def exomol_xsec_to_cs(fileins, fileout, molecule):
              comment="Converted from ExoMol cross sections")
 
 
+def hitran_xsc_to_cs(fileins, fileout):
+    """HITRAN .xsc cross-section files (Hargreaves et al. 2015 style,
+    scripts/HITRAN_CS_format.py:29-60): one temperature per file; a
+    fixed-width header record (molecule [0:20], initial/final wavenumber
+    [20:30]/[30:40], point count [40:47], temperature [47:54], pressure
+    [54:60], resolution [70:75]) followed by the cross-section values
+    wrapped 10 per line.  The wavenumber grid is linspace(wn_init,
+    wn_fin, nwave); sigma (cm2/molecule) converts to cm-1 amagat-1 via
+    the Loschmidt number."""
+    ntemp = len(fileins)
+    T = np.zeros(ntemp)
+    data = mol = wn = None
+    for i, fi in enumerate(fileins):
+        with open(fi) as f:
+            hdr = f.readline()
+            m = hdr[0:20].strip()
+            wn_init = float(hdr[20:30])
+            wn_fin = float(hdr[30:40])
+            nwave = int(hdr[40:47])
+            T[i] = float(hdr[47:54])
+            vals = np.array(f.read().split()[:nwave], dtype=np.float64)
+        if data is None:
+            mol = m
+            wn = np.linspace(wn_init, wn_fin, nwave)
+            data = np.zeros((nwave, ntemp))
+        elif m != mol or vals.shape[0] != wn.shape[0]:
+            raise ValueError(f"{fi}: species/range mismatch with "
+                             f"{fileins[0]}")
+        data[:, i] = vals * N0
+    order = np.argsort(T)
+    write_cs(fileout, [mol], T[order], wn, data[:, order],
+             comment="Converted from HITRAN .xsc cross sections")
+
+
 def merge_cs(file1, file2, fileout):
     """Merge two CS tables of the same pair over disjoint temperature
     ranges onto the union wavenumber grid (Borysow_merge_H2H2.py role)."""
@@ -135,7 +169,8 @@ def read_spectrum(tfile, wn=True):
 def main(argv=None):
     argv = sys.argv[1:] if argv is None else argv
     if not argv:
-        print("usage: ciaformat {borysow|hitran-cia|exomol|merge} args...")
+        print("usage: ciaformat {borysow|hitran-cia|hitran-xsc|exomol|"
+              "merge} args...")
         return 1
     cmd, *rest = argv
     if cmd == "borysow":
@@ -143,6 +178,8 @@ def main(argv=None):
     elif cmd == "hitran-cia":
         args = rest[:2] + [float(x) for x in rest[2:]]
         hitran_cia_to_cs(*args)
+    elif cmd == "hitran-xsc":
+        hitran_xsc_to_cs(rest[:-1], rest[-1])
     elif cmd == "exomol":
         exomol_xsec_to_cs(rest[:-2], rest[-2], rest[-1])
     elif cmd == "merge":
