@@ -242,18 +242,97 @@ def test_run_transit_flat_api():
 
 
 def test_split_far_matches_unsplit():
-    """The far-line region-II split (opacities/fast.py R2_MARGIN) must be
-    bit-identical to the unsplit banded path: far lines satisfy
-    s = |x| + y >= 5.5 for every (layer, bin) they are evaluated at, so
-    the full Humlicek kernel would select the same region-II branch."""
+    """The far-line region-II split (opacities/fast.py R2_MARGIN) with
+    decimation OFF (the exactness fallback) must be bit-identical to the
+    unsplit banded path: far lines satisfy s = |x| + y >= 5.5 for every
+    (layer, bin) they are evaluated at, so the full Humlicek kernel
+    would select the same region-II branch."""
     cfg = make_config("eclipse", 1e30)
     m0 = TransitModel(cfg, mode="fast", bands=6, split_far=False)
-    m1 = TransitModel(cfg, mode="fast", bands=6, split_far=True)
+    m1 = TransitModel(cfg, mode="fast", bands=6, split_far=True,
+                      far_decimate=False)
     t = jnp.asarray(m0.atm.temp, m0.dtype)
     q = jnp.asarray(m0.atm.q, m0.dtype)
     s0 = np.asarray(jax.jit(m0.forward)(t, q))
     s1 = np.asarray(jax.jit(m1.forward)(t, q))
     np.testing.assert_allclose(s1, s0, rtol=1e-12)
+
+
+def _fine_grid_config():
+    """A fine-resolution (0.01 cm-1) slice where Lorentz halos span
+    thousands of bins — the regime the far-wing decimation targets
+    (the BASELINE 1-20 um workload runs 950k bins at this spacing)."""
+    cfg = make_config("eclipse", 1e30)
+    cfg.wnlow, cfg.wnhigh, cfg.wndelt = 2000.0, 2040.0, 0.01
+    cfg.wnosamp = 2
+    return cfg
+
+
+def test_far_decimation_conformance():
+    """Far-wing decimation (FAR_FACTOR distance shells, Catmull-Rom
+    upsample, tapered cutoff) — VERDICT r4 next #1.  Three bounds:
+
+    1. The *decimation* error proper — decimated shells vs the same
+       tapered physics at full resolution (far_full_res=True) — must be
+       <= 1e-4 on both spectrum and extinction/layer-scale.
+    2. The *taper* redistribution vs the reference-style hard cutoff is
+       a physics-definition difference; it must be far smaller than the
+       nwidth truncation's own modeling uncertainty (the spectrum shift
+       from nwidth 20 -> 30), which the hard cutoff discards wholesale.
+    3. Gradients flow through the decimated shells.
+    """
+    from transit_tpu.opacities import fast
+
+    cfg = _fine_grid_config()
+    m0 = TransitModel(cfg, mode="fast", bands=6, split_far=True,
+                      far_decimate=False)
+    m1 = TransitModel(cfg, mode="fast", bands=6, split_far=True,
+                      far_decimate=True)
+    # The decimation must actually engage on this grid:
+    strides = [s for far in (m1.bplan.far_plans or []) if far
+               for (_l, _r, s) in far]
+    assert strides and max(strides) >= 4, \
+        f"expected decimated shells, got strides {strides}"
+    t = jnp.asarray(m0.atm.temp, m0.dtype)
+    q = jnp.asarray(m0.atm.q, m0.dtype)
+
+    r1 = m1.compute()
+    e1 = np.asarray(r1.extinction)
+    s1 = np.asarray(r1.spectrum)
+
+    # (1) same-taper full-resolution baseline — pure interpolation error:
+    orig = fast.banded_extinction
+    try:
+        fast.banded_extinction = \
+            lambda *a, **k: orig(*a, far_full_res=True, **k)
+        rF = m1.compute()
+    finally:
+        fast.banded_extinction = orig
+    eF = np.asarray(rF.extinction)
+    sF = np.asarray(rF.spectrum)
+    scale = eF.max(axis=1, keepdims=True)
+    assert (np.abs(e1 - eF) / scale).max() < 1e-4
+    np.testing.assert_allclose(s1, sF, rtol=1e-4)
+
+    # (2) taper redistribution << truncation uncertainty:
+    r0 = m0.compute()
+    s0 = np.asarray(r0.spectrum)
+    taper_shift = np.abs(s1 / s0 - 1.0).max()
+    cfg30 = _fine_grid_config()
+    cfg30.nwidth = 30.0
+    m30 = TransitModel(cfg30, mode="fast", bands=6, split_far=True,
+                       far_decimate=False)
+    s30 = np.asarray(m30.compute().spectrum)
+    trunc_shift = np.abs(s30 / s0 - 1.0).max()
+    assert taper_shift < 5e-3, f"taper shift {taper_shift:.2e}"
+    assert taper_shift < 0.1 * trunc_shift, \
+        (f"taper shift {taper_shift:.2e} not << truncation "
+         f"uncertainty {trunc_shift:.2e}")
+
+    # (3) gradients flow through the decimated shells:
+    g = jax.grad(lambda tt: jnp.sum(m1.forward(tt, q)))(t)
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert np.abs(np.asarray(g)).max() > 0.0
 
 
 def test_banded_matches_unbanded():

@@ -64,8 +64,8 @@ class SpectrumResult:
 class TransitModel:
     def __init__(self, cfg: TransitConfig, dtype=None, mode: str = "exact",
                  use_pallas: bool = False, bands: int = 0,
-                 split_far: bool = True, tli=None, wn_window=None,
-                 wn_margin: float = 0.0):
+                 split_far: bool = True, far_decimate: bool = True,
+                 tli=None, wn_window=None, wn_margin: float = 0.0):
         """``tli``: preloaded TliData (e.g. a wavenumber band from
         io.tli.read_tli_band) overriding cfg.linedb's full read.
         ``wn_window=(b0, b1)``: restrict the model to coarse bins
@@ -82,6 +82,7 @@ class TransitModel:
         self.use_pallas = use_pallas
         self.bands = bands
         self.split_far = split_far
+        self.far_decimate = far_decimate
         if dtype is None:
             dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
         self.dtype = dtype
@@ -216,7 +217,7 @@ class TransitModel:
                         dwn=self.wns.d, n_coarse=self.wns.n, aL_layers=aL,
                         aDf_layers=aDf, wn_max=self.wns.f,
                         nwidth=cfg.nwidth, max_bands=bands,
-                        split_far=split_far)
+                        split_far=split_far, far_decimate=far_decimate)
                     self.bdev = fast.banded_device_arrays(
                         self.bplan, self.iso, dtype=self.dtype)
                 else:

@@ -44,6 +44,18 @@ from transit_tpu.opacities.voigt import (voigt_k, voigt_k_humlicek,
 # ~4x less VPU work); 1.02 is a safety factor on the host width bound.
 R2_MARGIN = 1.02 * 5.5 / float(SQRTLN2)
 
+# Far-wing decimation (see make_banded_plans split_far/decimate): a line
+# at distance >= FAR_FACTOR * s bins from every evaluation point may be
+# evaluated on a stride-s decimated bin grid and Catmull-Rom-interpolated
+# back up.  The summed wing field of region-II lines decays like a
+# Lorentzian ~1/d^2, whose cubic-interpolation error at spacing h and
+# distance d is ~(h/d)^3: FAR_FACTOR = 24 bounds the per-line relative
+# error at ~3e-5 (measured worst case over strides 2-16 on a pure 1/d^2
+# wing), far inside the 1e-4 fast-path conformance budget.  The
+# reference evaluates these smooth wings at full resolution
+# (extinction.c:485-509, voigt.c:182-199 region-II rational per bin).
+FAR_FACTOR = 24
+
 
 @dataclasses.dataclass
 class FastPlan:
@@ -212,7 +224,8 @@ def fast_extinction(plan: FastPlan, d, temps, densities,
                     ethresh: float, nwidth: float, line_chunk: int = 512,
                     eval_budget: int = 0, prep=None,
                     voigt_fn=voigt_k_humlicek, kmax_override=None,
-                    unit_density: bool = False):
+                    unit_density: bool = False, stride: int = 1,
+                    taper: float = 0.0):
     """Extinction (nlayer, n_coarse) for all layers (single device).
 
     ``prep`` (from :func:`_prep_layers`) may be shared across the near/far
@@ -232,7 +245,8 @@ def fast_extinction(plan: FastPlan, d, temps, densities,
         dtiles = {k: d[k] for k in ("wavn", "elow", "gf", "iso", "mask")}
         tiles = _run_tiles(plan, d, dtiles, gidx, plan.lmax, prep, wn_i,
                            dwn, ethresh, nwidth, line_chunk,
-                           eval_budget=eval_budget, voigt_fn=voigt_fn)
+                           eval_budget=eval_budget, voigt_fn=voigt_fn,
+                           stride=stride, taper=taper)
         out = jnp.moveaxis(tiles, 0, 1).reshape(nlayer,
                                                 plan.ntiles * plan.tw)
         return out[:, :plan.n_coarse]
@@ -244,7 +258,8 @@ def fast_extinction(plan: FastPlan, d, temps, densities,
         gidx = jnp.asarray(ct, dtype=jnp.int32)
         parts.append(_run_tiles(plan, d, dc, gidx, lm, prep, wn_i, dwn,
                                 ethresh, nwidth, line_chunk,
-                                eval_budget=eval_budget, voigt_fn=voigt_fn))
+                                eval_budget=eval_budget, voigt_fn=voigt_fn,
+                                stride=stride, taper=taper))
     tiles = jnp.concatenate(parts, axis=0)       # (ntiles, nlayer, tw)
     order = np.concatenate(plan.class_tiles)
     inv = np.empty_like(order)
@@ -355,6 +370,28 @@ def line_kmax(d, temps, Z, line_chunk: int = 512):
     return _kmax_scan(d, temps, coef_iso, line_chunk, niso, dtype)
 
 
+def _cr_weights(stride: int) -> np.ndarray:
+    """(4, stride) Catmull-Rom (Keys a=-1/2) interpolation weights for
+    in-group offsets r = 0..stride-1 at fractions u = r/stride."""
+    u = np.arange(stride) / stride
+    return np.stack([-0.5 * u**3 + u**2 - 0.5 * u,
+                     1.5 * u**3 - 2.5 * u**2 + 1.0,
+                     -1.5 * u**3 + 2.0 * u**2 + 0.5 * u,
+                     0.5 * u**3 - 0.5 * u**2])
+
+
+def _upsample_cr(x, stride: int, tw: int):
+    """Catmull-Rom upsample of decimated tile rows (..., tw//stride+3)
+    -> (..., tw).  Sample k sits at bin position (k-1)*stride (one
+    sample beyond each tile edge), so bin g*stride+r interpolates from
+    samples [g, g+1, g+2, g+3]."""
+    G = tw // stride
+    W = jnp.asarray(_cr_weights(stride), dtype=x.dtype)
+    stacked = jnp.stack([x[..., m:m + G] for m in range(4)], axis=-1)
+    out = jnp.einsum("...gm,mr->...gr", stacked, W)
+    return out.reshape(x.shape[:-1] + (tw,))
+
+
 # Per-scan-step Voigt evaluation budget (elements of the fused
 # (tile_block, nlayer, tw, line_chunk) tensor).  Sizes the tile blocks so
 # few sequential steps remain without risking an oversized intermediate if
@@ -365,7 +402,8 @@ EVAL_BUDGET = 4 << 20
 def _run_tiles(plan: FastPlan, d, dtiles, gidx, lmax: int, prep,
                wn_i: float, dwn: float, ethresh: float, nwidth: float,
                line_chunk: int, eval_budget: int = 0,
-               voigt_fn=voigt_k_humlicek):
+               voigt_fn=voigt_k_humlicek, stride: int = 1,
+               taper: float = 0.0):
     """Extinction tiles (nt, nlayer, tw) for the tile tensors ``dtiles``
     (leading dim nt) whose global tile indices are ``gidx`` (may be
     traced).
@@ -377,13 +415,25 @@ def _run_tiles(plan: FastPlan, d, dtiles, gidx, lmax: int, prep,
     evaluation stays within eval_budget elements; the block loop is a
     hand-batched lax.scan (lax.map's batch_size builds scan-of-vmap, which
     stalls this TPU backend's remote compiler).
+
+    ``stride > 1``: far-wing decimation — evaluate on tw//stride + 3
+    positions at spacing stride*dwn (one sample beyond each tile edge)
+    and Catmull-Rom-upsample to the tw bins; valid only for plans whose
+    lines sit >= FAR_FACTOR*stride bins from every evaluation point
+    (make_banded_plans shells).
     """
     dtype = prep["dtype"]
     temps, densities, Z = prep["temps"], prep["densities"], prep["Z"]
     alphal, alphad_f, kmax = prep["alphal"], prep["alphad_f"], prep["kmax"]
     nlayer = temps.shape[0]
     tw = plan.tw
-    wn_axis = wn_i + dwn * jnp.arange(tw, dtype=dtype)
+    if stride > 1:
+        n_eval = tw // stride + 3
+        wn_axis = wn_i + dwn * stride * (jnp.arange(n_eval, dtype=dtype)
+                                         - 1.0)
+    else:
+        n_eval = tw
+        wn_axis = wn_i + dwn * jnp.arange(tw, dtype=dtype)
     nt = dtiles["wavn"].shape[0]
 
     # Line-chunk size: largest multiple of 128 <= line_chunk dividing lmax
@@ -396,7 +446,7 @@ def _run_tiles(plan: FastPlan, d, dtiles, gidx, lmax: int, prep,
     nblk = lmax // lc
 
     budget = int(eval_budget) if eval_budget else EVAL_BUDGET
-    tb = max(1, min(nt, budget // max(1, nlayer * tw * lc)))
+    tb = max(1, min(nt, budget // max(1, nlayer * n_eval * lc)))
     nb = -(-nt // tb)
     pad_t = nb * tb - nt
 
@@ -439,7 +489,7 @@ def _run_tiles(plan: FastPlan, d, dtiles, gidx, lmax: int, prep,
             k = jnp.where(keep, k, 0.0) * dd
             aD = aDf * wv[:, None, :]
             # Lines ride the last (128-lane) axis; tw bins on sublanes:
-            dist = jnp.abs(wn_blk[:, :, None] - wv[:, None, :])  # (tb,tw,lc)
+            dist = jnp.abs(wn_blk[:, :, None] - wv[:, None, :])  # (tb,ne,lc)
             inv_aD = 1.0 / aD
             # Clamp: padding lanes can reach x ~ 4e9 (bin-to-dummy-line
             # distance over a minimal Doppler width), where |t|^4 inside
@@ -453,9 +503,22 @@ def _run_tiles(plan: FastPlan, d, dtiles, gidx, lmax: int, prep,
             prof = (voigt_fn(x, y[:, :, None, :]) *
                     inv_aD[:, :, None, :])
             wing = nwidth * jnp.maximum(aD, aL)
-            use = dist[:, None] <= wing[:, :, None, :]
-            val = jnp.sum(jnp.where(use, prof, 0.0) * k[:, :, None, :],
-                          axis=3)                        # (tb, nlayer, tw)
+            if taper > 0.0:
+                # Smooth wing cutoff: a centered linear ramp of width
+                # ``taper`` replacing the hard step.  A step cannot be
+                # represented on a decimated grid (cubic interpolation
+                # rings ~30% of the step height); the ramp is sampled
+                # faithfully at any stride <= taper/dwn.  The
+                # redistribution vs the hard cutoff is first-order
+                # centered (half in, half out) and far smaller than the
+                # tail mass the nwidth cutoff itself discards:
+                use = jnp.clip((wing[:, :, None, :] - dist[:, None]) /
+                               taper + 0.5, 0.0, 1.0)
+                val = jnp.sum(prof * use * k[:, :, None, :], axis=3)
+            else:
+                use = dist[:, None] <= wing[:, :, None, :]
+                val = jnp.sum(jnp.where(use, prof, 0.0) *
+                              k[:, :, None, :], axis=3)  # (tb, nlayer, ne)
             return acc + val, None
 
         sls = (w.reshape(tb, nblk, lc).swapaxes(0, 1),
@@ -463,7 +526,7 @@ def _run_tiles(plan: FastPlan, d, dtiles, gidx, lmax: int, prep,
                g.reshape(tb, nblk, lc).swapaxes(0, 1),
                i.reshape(tb, nblk, lc).swapaxes(0, 1),
                msk.reshape(tb, nblk, lc).swapaxes(0, 1))
-        acc0 = jnp.zeros((tb, nlayer, tw), dtype=dtype)
+        acc0 = jnp.zeros((tb, nlayer, n_eval), dtype=dtype)
         if nblk == 1:
             acc, _ = line_block(acc0, tuple(a[0] for a in sls))
         else:
@@ -483,9 +546,14 @@ def _run_tiles(plan: FastPlan, d, dtiles, gidx, lmax: int, prep,
     if nb == 1:
         out = block_ck(tuple(a[0] for a in blocks))
     else:
-        out = jax.lax.map(block_ck, blocks)              # (nb, tb, nl, tw)
-        out = out.reshape(nb * tb, nlayer, tw)
-    return out[:nt]
+        out = jax.lax.map(block_ck, blocks)              # (nb, tb, nl, ne)
+        out = out.reshape(nb * tb, nlayer, n_eval)
+    out = out[:nt]
+    if stride > 1:
+        # The true shell field is non-negative; clip any residual
+        # interpolation undershoot (pure artifact near cutoff edges):
+        out = jnp.maximum(_upsample_cr(out, stride, tw), 0.0)
+    return out
 
 
 def fast_extinction_tiles(plan: FastPlan, d, temps, densities,
@@ -495,7 +563,8 @@ def fast_extinction_tiles(plan: FastPlan, d, temps, densities,
                           line_chunk: int = 512, eval_budget: int = 0,
                           prep=None, voigt_fn=voigt_k_humlicek,
                           kmax_override=None, gidx=None,
-                          unit_density: bool = False):
+                          unit_density: bool = False, stride: int = 1,
+                    taper: float = 0.0):
     """Extinction (nlayer, ntiles*tw) for a device-local tile set.
 
     ``d`` holds this set's tile tensors (wavn/elow/gf/iso/mask, first dim
@@ -524,7 +593,7 @@ def fast_extinction_tiles(plan: FastPlan, d, temps, densities,
               for k in ("wavn", "elow", "gf", "iso", "mask")}
     tiles = _run_tiles(plan, d, dtiles, gidx, plan.lmax, prep, wn_i, dwn,
                        ethresh, nwidth, line_chunk, eval_budget=eval_budget,
-                       voigt_fn=voigt_fn)
+                       voigt_fn=voigt_fn, stride=stride, taper=taper)
     # (ntiles, nlayer, tw) -> (nlayer, ntiles*tw)
     return jnp.moveaxis(tiles, 0, 1).reshape(nlayer, ntiles * plan.tw)
 
@@ -548,11 +617,14 @@ class BandedPlan:
     inv_perm: np.ndarray      # (nl,) inverse permutation
     slices: list              # [(lo, hi)] into perm per band
     plans: list               # FastPlan per band (near plan when split)
-    # Far-line split (see R2_MARGIN): per band, (farL, farR) FastPlans
-    # over the wing-only line ranges left/right of each tile's near
-    # window, evaluated with the region-II-only Voigt kernel; None when
-    # the band isn't split.  plans[i] then covers only the near window.
-    far_plans: list = None    # [(farL|None, farR|None) or None] per band
+    # Far-line split (see R2_MARGIN / FAR_FACTOR): per band, a list of
+    # distance SHELLS [(farL|None, farR|None, stride), ...] over the
+    # wing-only line ranges left/right of each tile's near window,
+    # evaluated with the region-II-only Voigt kernel; shells with
+    # stride > 1 evaluate on a decimated bin grid (Catmull-Rom
+    # upsampled).  None/empty when the band isn't split; plans[i] then
+    # covers only the near window.
+    far_plans: list = None    # [[(farL, farR, stride), ...] or None]
 
 
 def layer_width_bounds(atm, mol, iso_mass, iso_imol=None):
@@ -582,7 +654,9 @@ def make_banded_plans(wavn, isoid, elow, gf, wn_i: float, dwn: float,
                       nwidth: float, max_bands: int = 4,
                       ratio: float = 3.0, tw_scale: float = 1.0,
                       classes: bool = True,
-                      split_far: bool = True) -> BandedPlan:
+                      split_far: bool = True,
+                      far_decimate: bool = True,
+                      max_stride: int = 64) -> BandedPlan:
     """Split layers into width bands and build one FastPlan per band.
 
     aL_layers/aDf_layers: per-layer width bounds (layer_width_bounds).
@@ -597,9 +671,19 @@ def make_banded_plans(wavn, isoid, elow, gf, wn_i: float, dwn: float,
 
     split_far: per tile, partition the bucketed lines into a *near* window
     (within R2_MARGIN Doppler widths of a tile bin — full Humlicek w4) and
-    two *far* ranges (wing-only — region-II rational, bit-identical where
+    *far* ranges (wing-only — region-II rational, bit-identical where
     selected, ~4x cheaper).  Worthwhile when the halo is Lorentz-dominated
     (halo >> Doppler margin), i.e. high-pressure bands.
+
+    far_decimate: split the far ranges into geometric distance shells —
+    stride-s shell covering distances [FAR_FACTOR*s, FAR_FACTOR*2s) bins
+    — each evaluated on an s-decimated bin grid and Catmull-Rom
+    upsampled (per-line relative error ~3e-5, see FAR_FACTOR).  This
+    turns the O(halo) per-line far-wing cost into O(FAR_FACTOR *
+    log2(halo)): the dominant cost of wide fine-resolution workloads
+    (e.g. 1-20 um at 0.01 cm-1), where halos reach thousands of bins.
+    False = exactness fallback (single full-resolution far shell,
+    bit-identical to the unsplit path).
     """
     w = np.maximum(aL_layers, aDf_layers * wn_max)
     perm = np.argsort(-w, kind="stable")
@@ -647,39 +731,78 @@ def make_banded_plans(wavn, isoid, elow, gf, wn_i: float, dwn: float,
             if split_far:
                 far_plans.append(None)
             continue
-        lo_near = wn_i + k * tw * dwn - margin
-        hi_near = wn_i + (k + 1) * tw * dwn + margin
-        sL = np.searchsorted(wavn_s, lo_full, side="left")
-        sNl = np.searchsorted(wavn_s, lo_near, side="left")
-        sNr = np.searchsorted(wavn_s, hi_near, side="right")
-        sR = np.searchsorted(wavn_s, hi_full, side="right")
+        halo_wn = halo * dwn                              # (ntiles,)
+        tile_lo = wn_i + k * tw * dwn
+        tile_hi = wn_i + (k + 1) * tw * dwn
         mk = lambda s, e: _subplan(wavn_s, isoid_s, elow_s, gf_s, s, e,
                                    tw=tw, ntiles=ntiles, n_coarse=n_coarse,
                                    halo_rep=float(halo.max()),
                                    classes=classes)
-        plans.append(mk(sNl, sNr))
-        farL = mk(sL, sNl) if int((sNl - sL).max()) > 0 else None
-        farR = mk(sNr, sR) if int((sR - sNr).max()) > 0 else None
-        far_plans.append((farL, farR))
+        plans.append(mk(np.searchsorted(wavn_s, tile_lo - margin,
+                                        side="left"),
+                        np.searchsorted(wavn_s, tile_hi + margin,
+                                        side="right")))
+
+        # Distance-shell boundaries (wn units, per tile).  Shell stride s
+        # spans [bound(s), bound(2s)); the innermost (stride-1) shell
+        # starts at the region-II margin and the outermost ends at the
+        # full wing bound.  The margin + s*dwn term keeps the decimated
+        # sample one stride beyond each tile edge inside region II:
+        def bound(s):
+            if s == 1:
+                return margin
+            return np.minimum(np.maximum(margin + s * dwn,
+                                         FAR_FACTOR * s * dwn), halo_wn)
+
+        strides = [1]
+        if far_decimate:
+            s = 2
+            smax = min(max_stride, tw // 4)
+            while s <= smax and bool(np.any(bound(s) < halo_wn)):
+                strides.append(s)
+                s *= 2
+        shells = []
+        for si, s in enumerate(strides):
+            lo_b = bound(s)
+            hi_b = (bound(strides[si + 1]) if si + 1 < len(strides)
+                    else halo_wn)
+            sL0 = np.searchsorted(wavn_s, tile_lo - hi_b, side="left")
+            sL1 = np.searchsorted(wavn_s, tile_lo - lo_b, side="left")
+            sR0 = np.searchsorted(wavn_s, tile_hi + lo_b, side="right")
+            sR1 = np.searchsorted(wavn_s, tile_hi + hi_b, side="right")
+            pL = mk(sL0, sL1) if int((sL1 - sL0).max()) > 0 else None
+            pR = mk(sR0, sR1) if int((sR1 - sR0).max()) > 0 else None
+            if pL is not None or pR is not None:
+                shells.append((pL, pR, s))
+        far_plans.append(shells if shells else None)
     inv = np.empty_like(perm)
     inv[perm] = np.arange(len(perm))
     return BandedPlan(perm=perm, inv_perm=inv, slices=slices, plans=plans,
                       far_plans=far_plans)
 
 
+def _far_tile_tensors(fp: FastPlan, iso, dtype):
+    """Tile-tensor subset of fast_device_arrays for a far subplan (the
+    all_*/iso_* arrays are shared with the band's near dict)."""
+    fd = fast_device_arrays(fp, iso, dtype=dtype)
+    return {k: fd[k] for k in
+            (("classes",) if fp.class_tiles is not None
+             else ("wavn", "elow", "gf", "iso", "mask"))}
+
+
 def banded_device_arrays(bplan: BandedPlan, iso, dtype=jnp.float32):
     """Per-band device tensors (list parallel to bplan.plans).  When the
-    band is far-split, the dict gains "farL"/"farR" tile-tensor dicts."""
+    band is far-split, the dict gains a "far" list parallel to the
+    band's shells: (tensorsL|None, tensorsR|None) per shell."""
     devs = []
     for i, p in enumerate(bplan.plans):
         d = fast_device_arrays(p, iso, dtype=dtype)
-        if bplan.far_plans is not None and bplan.far_plans[i] is not None:
-            for key, fp in zip(("farL", "farR"), bplan.far_plans[i]):
-                if fp is not None:
-                    fd = fast_device_arrays(fp, iso, dtype=dtype)
-                    d[key] = {k: fd[k] for k in
-                              (("classes",) if fp.class_tiles is not None
-                               else ("wavn", "elow", "gf", "iso", "mask"))}
+        far = bplan.far_plans[i] if bplan.far_plans is not None else None
+        if far:
+            d["far"] = [tuple(_far_tile_tensors(fp, iso, dtype)
+                              if fp is not None else None
+                              for fp in (pL, pR))
+                        for (pL, pR, _s) in far]
         devs.append(d)
     return devs
 
@@ -687,10 +810,16 @@ def banded_device_arrays(bplan: BandedPlan, iso, dtype=jnp.float32):
 def banded_extinction(bplan: BandedPlan, devs, temps, densities, Z,
                       mol_mass, mol_radius, wn_i: float, dwn: float,
                       ethresh: float, nwidth: float, eval_budget: int = 0,
-                      kmax_override=None):
+                      kmax_override=None, far_full_res: bool = False):
     """Extinction (nlayer, n_coarse) via per-band plans; numerically the
     same quantity as fast_extinction (wing masks use true widths, and far
-    lines take the region-II branch the full kernel would select)."""
+    lines take the region-II branch the full kernel would select).
+
+    Decimated far shells (stride > 1) use a tapered wing cutoff of width
+    2*stride*dwn in place of the hard step (see _run_tiles).
+    ``far_full_res=True`` evaluates those shells at FULL resolution with
+    the SAME taper — the reference baseline that isolates the pure
+    decimation (interpolation) error for conformance tests."""
     perm = jnp.asarray(bplan.perm)
     rows = []
     for i, ((a, b), plan, d) in enumerate(zip(bplan.slices, bplan.plans,
@@ -703,19 +832,23 @@ def banded_extinction(bplan: BandedPlan, devs, temps, densities, Z,
         kov = kmax_override[sel] if kmax_override is not None else None
         far = (bplan.far_plans[i]
                if bplan.far_plans is not None else None)
-        if far is None:
+        if not far:
             rows.append(fast_extinction(plan, d, *args,
                                         kmax_override=kov, **kw))
             continue
         prep = _prep_layers(plan, d, *args, line_chunk=512,
                             kmax_override=kov)
         ex = fast_extinction(plan, d, *args, prep=prep, **kw)
-        for key, fp in zip(("farL", "farR"), far):
-            if fp is None:
-                continue
-            fd = dict(d, **d[key])   # shared all_*/iso_* + far tiles
-            ex = ex + fast_extinction(fp, fd, *args, prep=prep,
-                                      voigt_fn=voigt_k_humlicek_r2, **kw)
+        for (pL, pR, s), (dL, dR) in zip(far, d["far"]):
+            for fp, fdt in ((pL, dL), (pR, dR)):
+                if fp is None:
+                    continue
+                fd = dict(d, **fdt)  # shared all_*/iso_* + shell tiles
+                ex = ex + fast_extinction(
+                    fp, fd, *args, prep=prep,
+                    voigt_fn=voigt_k_humlicek_r2,
+                    stride=(1 if far_full_res else s),
+                    taper=(4.0 * s * dwn if s > 1 else 0.0), **kw)
         rows.append(ex)
     out = jnp.concatenate(rows, axis=0)          # permuted layer order
     return out[jnp.asarray(bplan.inv_perm)]

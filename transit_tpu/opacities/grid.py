@@ -300,12 +300,17 @@ def build_opacity_grid_fast(model, path: str = None,
                 args = (t_, d_, z_, mol_mass, mol_radius)
                 ex = fast.fast_extinction(plan, dev, *args, prep=prep,
                                           **kw)
-                for key, fp in zip(("farL", "farR"), far or ()):
-                    if fp is not None:
-                        fd = dict(dev, **dev[key])
+                for (pL, pR, s), (dL, dR) in zip(far or (),
+                                                 dev.get("far", ())):
+                    for fp, fdt in ((pL, dL), (pR, dR)):
+                        if fp is None:
+                            continue
+                        fd = dict(dev, **fdt)
                         ex = ex + fast.fast_extinction(
                             fp, fd, *args, prep=prep,
-                            voigt_fn=voigt_k_humlicek_r2, **kw)
+                            voigt_fn=voigt_k_humlicek_r2, stride=s,
+                            taper=(2.0 * s * model.wns.d if s > 1
+                                   else 0.0), **kw)
                 return ex
 
             jfn = jax.jit(band_fn)

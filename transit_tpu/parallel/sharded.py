@@ -146,22 +146,27 @@ def make_sharded_forward(model, mesh: Mesh, external_kmax: bool = False,
         if banded:
             bplan = model.bplan
             B = max(p.tw for p in bplan.plans)
-            band_subs = []      # per band: [(plan, is_far, prefix), ...]
+            band_subs = []  # per band: [(plan, stride|0=near, prefix), ...]
             cost_subs = []      # (plan, layer-weight) for block costs
             for i, p in enumerate(bplan.plans):
                 far = (bplan.far_plans[i]
                        if bplan.far_plans is not None else None)
-                subs = [(p, False, f"b{i}_")]
-                if far is not None:
-                    subs += [(fp, True, f"b{i}{tag}_")
-                             for tag, fp in zip(("L", "R"), far)
-                             if fp is not None]
+                subs = [(p, 0, f"b{i}_")]
+                if far:
+                    for j, (pL, pR, s) in enumerate(far):
+                        subs += [(fp, s, f"b{i}{tag}{j}_")
+                                 for tag, fp in (("L", pL), ("R", pR))
+                                 if fp is not None]
                 band_subs.append(subs)
                 a, b = bplan.slices[i]
-                for sp, _, _ in subs:
+                for sp, stride, _ in subs:
                     assert B % sp.tw == 0, \
                         "band tile widths must divide the block"
-                    cost_subs.append((sp, float(b - a)))
+                    # Decimated shells evaluate (tw/s + 3)/tw of the
+                    # bins — weight their line counts accordingly:
+                    frac = (1.0 if stride <= 1
+                            else (sp.tw // stride + 3) / sp.tw)
+                    cost_subs.append((sp, float(b - a) * frac))
         else:
             assert model.fplan is not None
             plan = model.fplan
@@ -196,19 +201,19 @@ def make_sharded_forward(model, mesh: Mesh, external_kmax: bool = False,
                     np.arange(tpb)[None, None, :]).reshape(-1)
 
         if banded:
-            band_meta = []      # per band: [(plan, ntl, keys, is_far)]
+            band_meta = []      # per band: [(plan, ntl, keys, stride)]
             for i, subs in enumerate(band_subs):
                 metas = []
-                for sp, is_far, prefix in subs:
+                for sp, stride, prefix in subs:
                     ntl = nblk_local * (B // sp.tw)
                     t = _tile_tensors_for(sp, sub_tiles(sp), dtype)
                     keys = {k: prefix + k for k in t}
                     tile_args.update({keys[k]: v for k, v in t.items()})
-                    metas.append((sp, ntl, keys, is_far))
+                    metas.append((sp, ntl, keys, stride))
                 band_meta.append(metas)
             shared = {k: v for k, v in model.bdev[0].items()
                       if k not in ("classes", "wavn", "elow", "gf", "iso",
-                                   "mask", "farL", "farR")}
+                                   "mask", "far")}
             perm = np.asarray(bplan.perm)
             inv_perm = jnp.asarray(bplan.inv_perm)
         else:
@@ -261,7 +266,7 @@ def make_sharded_forward(model, mesh: Mesh, external_kmax: bool = False,
                 kov = kmax_full[sel] if external_kmax else None
                 prep = None
                 ex_b = 0.0
-                for p, ntl, keys, is_far in metas:
+                for p, ntl, keys, stride in metas:
                     ldev = dict(shared,
                                 **{k: tiles[keys[k]] for k in keys
                                    if k != "gidx"})
@@ -272,8 +277,11 @@ def make_sharded_forward(model, mesh: Mesh, external_kmax: bool = False,
                     ex_b = ex_b + fast.fast_extinction_tiles(
                         p, ldev, *args, gidx=tiles[keys["gidx"]],
                         ntiles=ntl, prep=prep,
-                        voigt_fn=(voigt_k_humlicek_r2 if is_far
-                                  else voigt_k_humlicek), **kw)
+                        voigt_fn=(voigt_k_humlicek_r2 if stride
+                                  else voigt_k_humlicek),
+                        stride=max(stride, 1),
+                        taper=(2.0 * stride * dwn if stride > 1
+                               else 0.0), **kw)
                 rows.append(ex_b)
             ex = jnp.concatenate(rows, axis=0)[inv_perm]    # (nl, span)
         else:
