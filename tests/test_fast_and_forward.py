@@ -368,3 +368,37 @@ def test_make_forward_and_device_tree():
         c = np.asarray(jax.jit(lambda dev, tt, qq: m.forward(tt, qq, dev))(
             m.device_tree(), t, q))
         np.testing.assert_allclose(c, a, rtol=1e-12)
+
+
+def test_analytic_block_vjp_matches_autodiff():
+    """The analytic block-level VJP (_block_val: Faddeeva-identity
+    backward with table cotangents, no element residuals) must
+    reproduce plain autodiff gradients through the full forward —
+    including banded far shells, decimated bins-layout shells, and the
+    tapered cutoff (VERDICT r4 next #2)."""
+    from transit_tpu.opacities import fast
+
+    cfg = _fine_grid_config()
+    m = TransitModel(cfg, mode="fast", bands=6, split_far=True,
+                     far_decimate=True)
+    # the fine grid engages bins-layout decimated shells:
+    assert any(p is not None and p.lanes == "bins"
+               for far in (m.bplan.far_plans or []) if far
+               for pair in far for p in pair[:2])
+    t0 = jnp.asarray(m.atm.temp, m.dtype)
+    q0 = jnp.asarray(m.atm.q, m.dtype)
+
+    def loss(t, q):
+        return jnp.sum(m.forward(t, q))
+
+    assert fast.ANALYTIC_VJP
+    ga = jax.grad(loss, argnums=(0, 1))(t0, q0)
+    try:
+        fast.ANALYTIC_VJP = False
+        gd = jax.grad(loss, argnums=(0, 1))(t0, q0)
+    finally:
+        fast.ANALYTIC_VJP = True
+    for a, b in zip(ga, gd):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(a, b, rtol=1e-5,
+                                   atol=1e-12 * np.abs(b).max())

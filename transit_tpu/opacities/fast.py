@@ -34,7 +34,9 @@ import jax.numpy as jnp
 
 from transit_tpu.constants import SQRTLN2, SIGCTE, EXPCTE, KB, AMU, LS, PI
 from transit_tpu.opacities.voigt import (voigt_k, voigt_k_humlicek,
-                                         voigt_k_humlicek_r2)
+                                         voigt_k_humlicek_r2,
+                                         _humlicek_w, _humlicek_w_r2,
+                                         SQRTLN2PI, TWOOSQRTPI)
 
 # Far-line margin: region II of the Humlicek w4 kernel is selected when
 # s = |x| + y >= 5.5, i.e. at distances >= 5.5/sqrt(ln2) Doppler widths
@@ -76,6 +78,12 @@ class FastPlan:
     # global tile indices of class c, padded to length class_lmax[c]:
     class_tiles: list = None
     class_lmax: list = None
+    # Register layout of the tile kernel: "lines" puts the line axis on
+    # the 128-lane vector dimension (dense tiles — lmax rounds to 128);
+    # "bins" puts the BIN axis on lanes and lines on the 8-wide sublane
+    # axis (lmax rounds to 8) — chosen for sparse far shells, whose
+    # ~20-40 lines/tile would otherwise pad 3-8x to fill the lanes:
+    lanes: str = "lines"
 
 
 def make_fast_plan(wavn, isoid, elow, gf, wn_i: float, dwn: float,
@@ -126,13 +134,14 @@ def make_fast_plan(wavn, isoid, elow, gf, wn_i: float, dwn: float,
                     classes=classes)
 
 
-def _tile_classes(count, lmax: int, classes: bool):
-    """Group tiles by line count in powers-of-two 128-multiples; a class
-    is only worth a separate kernel if it has enough tiles."""
+def _tile_classes(count, lmax: int, classes: bool, min_level: int = 128):
+    """Group tiles by line count in powers-of-two multiples of
+    ``min_level`` (the layout's line-axis register granule); a class is
+    only worth a separate kernel if it has enough tiles."""
     ntiles = count.shape[0]
-    if not (classes and ntiles > 1 and lmax > 128):
+    if not (classes and ntiles > 1 and lmax > min_level):
         return None, None
-    cls_of = np.maximum(128, 2 ** np.ceil(
+    cls_of = np.maximum(min_level, 2 ** np.ceil(
         np.log2(np.maximum(count, 1))).astype(np.int64))
     cls_of = np.minimum(cls_of, lmax)
     # Merge classes with <8 tiles into the next-larger level (a tiny
@@ -152,21 +161,23 @@ def _tile_classes(count, lmax: int, classes: bool):
 
 
 def _subplan(wavn, isoid, elow, gf, start, end, tw, ntiles, n_coarse,
-             halo_rep, classes):
+             halo_rep, classes, lanes: str = "lines"):
     """FastPlan over pre-sorted line arrays with explicit per-tile line
     ranges [start, end)."""
     count = end - start
     lmax = int(count.max()) if count.size else 0
     lmax = max(lmax, 1)
-    # Round up for clean tiling:
-    lmax = -(-lmax // 128) * 128
-    class_tiles, class_lmax = _tile_classes(count, lmax, classes)
+    # Round up to the line axis' register granule (lanes or sublanes):
+    granule = 128 if lanes == "lines" else 8
+    lmax = -(-lmax // granule) * granule
+    class_tiles, class_lmax = _tile_classes(count, lmax, classes,
+                                            min_level=granule)
     return FastPlan(wavn=wavn, isoid=isoid, elow=elow, gf=gf,
                     tile_start=start.astype(np.int32),
                     tile_count=count.astype(np.int32),
                     lmax=lmax, tw=tw, ntiles=ntiles, n_coarse=n_coarse,
                     halo_bins=halo_rep, class_tiles=class_tiles,
-                    class_lmax=class_lmax)
+                    class_lmax=class_lmax, lanes=lanes)
 
 
 def _tile_tensors(plan: FastPlan, tiles, lmax, dtype):
@@ -392,6 +403,195 @@ def _upsample_cr(x, stride: int, tw: int):
     return out.reshape(x.shape[:-1] + (tw,))
 
 
+# Map from the public Voigt kernels to their raw (Re w, Im w) pair
+# implementations, used by the analytic block VJP below:
+_RAW_W = {voigt_k_humlicek: _humlicek_w, voigt_k_humlicek_r2: _humlicek_w_r2}
+
+# Global toggle for the analytic block-level VJP (A/B and debugging);
+# when False the tile kernel falls back to plain autodiff + remat:
+ANALYTIC_VJP = True
+
+
+def _block_geom(spec, wn_blk, wv):
+    """Layout helpers for the element tensor: ``lines`` layout puts the
+    line axis last (on the 128 vector lanes) giving elements
+    (tb, nl, ne, lc); ``bins`` layout puts the evaluation-bin axis last
+    (sparse far shells), elements (tb, nl, lc, ne).  Returns
+    (dist_b, xpand, ax_lines, ax_ne): the broadcast distance tensor,
+    the expander from line-level (tb, nl, lc) rank to element rank, the
+    LINE axis (reduced by the primal, -> (tb, nl, ne)) and the BIN axis
+    (reduced by the backward, -> (tb, nl, lc))."""
+    bins_on_lanes = spec[5]
+    if bins_on_lanes:
+        dist = jnp.abs(wn_blk[:, None, :] - wv[:, :, None])  # (tb, lc, ne)
+        return dist[:, None], (lambda a: a[:, :, :, None]), 2, 3
+    dist = jnp.abs(wn_blk[:, :, None] - wv[:, None, :])      # (tb, ne, lc)
+    return dist[:, None], (lambda a: a[:, :, None, :]), 3, 2
+
+
+def _block_lines(spec, wv, el, gf_, isof, mf, temps, coef_tab, dens_tab,
+                 aL_tab, aDf_tab, kmax):
+    """Line-level (tb, nlayer, lc) tensors shared by the primal and the
+    analytic backward: strength, iso-table select-sums, ethresh mask,
+    widths (extinction.c:364-427 quantities)."""
+    wfn, niso, ethresh, nwidth, taper, bol = spec
+    dtype = wv.dtype
+    t3 = temps[None, :, None]
+    e1 = jnp.exp(-EXPCTE * el[:, None, :] / t3)
+    e2 = jnp.exp(-EXPCTE * wv[:, None, :] / t3)
+    s = gf_[:, None, :] * e1 * (1.0 - e2)
+    coef = jnp.zeros_like(s)
+    dd = jnp.zeros_like(s)
+    aL = jnp.zeros_like(s)
+    aDf = jnp.zeros_like(s)
+    for n in range(niso):
+        mm = (isof == n).astype(dtype)[:, None, :]
+        coef = coef + mm * coef_tab[n][None, :, None]
+        dd = dd + mm * dens_tab[n][None, :, None]
+        aL = aL + mm * aL_tab[n][None, :, None]
+        aDf = aDf + mm * aDf_tab[n][None, :, None]
+    k0 = s * coef
+    keep = (mf[:, None, :] > 0) & (k0 >= ethresh * kmax[None, :, None])
+    kd = jnp.where(keep, k0, 0.0)
+    k = kd * dd
+    aD = aDf * wv[:, None, :]
+    inv_aD = 1.0 / aD
+    y = SQRTLN2 * (aL * inv_aD)
+    wing = nwidth * jnp.maximum(aD, aL)
+    return dict(e1=e1, e2=e2, s=s, coef=coef, dd=dd, aL=aL, aDf=aDf,
+                keep=keep, kd=kd, k=k, aD=aD, inv_aD=inv_aD, y=y,
+                wing=wing, t3=t3)
+
+
+def _block_primal(spec, wn_blk, wv, el, gf_, isof, mf, temps, coef_tab,
+                  dens_tab, aL_tab, aDf_tab, kmax):
+    wfn, niso, ethresh, nwidth, taper, bol = spec
+    dtype = wv.dtype
+    L = _block_lines(spec, wv, el, gf_, isof, mf, temps, coef_tab,
+                     dens_tab, aL_tab, aDf_tab, kmax)
+    dist_b, xpand, ax_lines, _ax_ne = _block_geom(spec, wn_blk, wv)
+    x = jnp.minimum(SQRTLN2 * dist_b * xpand(L["inv_aD"]),
+                    jnp.asarray(1e8, dtype))
+    wr, _wi = wfn(x, xpand(L["y"]))
+    prof = SQRTLN2PI * wr * xpand(L["inv_aD"])
+    if taper > 0.0:
+        use = jnp.clip((xpand(L["wing"]) - dist_b) / taper + 0.5,
+                       0.0, 1.0)
+        return jnp.sum(prof * use * xpand(L["k"]), axis=ax_lines)
+    use = dist_b <= xpand(L["wing"])
+    return jnp.sum(jnp.where(use, prof, 0.0) * xpand(L["k"]),
+                   axis=ax_lines)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _block_val(spec, wn_blk, wv, el, gf_, isof, mf, temps, coef_tab,
+               dens_tab, aL_tab, aDf_tab, kmax):
+    """One line-chunk's extinction contribution (tb, nlayer, n_eval)
+    with an ANALYTIC block-level VJP (VERDICT r4 next #2).
+
+    Plain reverse-mode through the tile body either stores the full
+    (tb, nl, ne, lc) Voigt evaluation volume (hundreds of GB at batch
+    32) or — under jax.checkpoint — replays the forward and then runs
+    an autodiff backward that materializes several element-sized
+    intermediates in HBM (~9x a forward step end to end).  This VJP
+    saves only the chunk INPUTS, recomputes the Voigt values once in
+    the backward via the Faddeeva identity w' = -2zw + 2i/sqrt(pi)
+    (the same identity the per-kernel custom VJPs use), and emits
+    cotangents directly for the small per-(iso, layer) width/strength
+    tables and the layer temperatures — one fused element pass, no
+    element-sized residuals, no replay.
+
+    spec (static): (raw_w_fn, niso, ethresh, nwidth, taper,
+    bins_on_lanes).
+    """
+    return _block_primal(spec, wn_blk, wv, el, gf_, isof, mf, temps,
+                         coef_tab, dens_tab, aL_tab, aDf_tab, kmax)
+
+
+def _block_val_fwd(spec, wn_blk, wv, el, gf_, isof, mf, temps, coef_tab,
+                   dens_tab, aL_tab, aDf_tab, kmax):
+    val = _block_primal(spec, wn_blk, wv, el, gf_, isof, mf, temps,
+                        coef_tab, dens_tab, aL_tab, aDf_tab, kmax)
+    return val, (wn_blk, wv, el, gf_, isof, mf, temps, coef_tab,
+                 dens_tab, aL_tab, aDf_tab, kmax)
+
+
+def _block_val_bwd(spec, res, g):
+    wfn, niso, ethresh, nwidth, taper, bol = spec
+    (wn_blk, wv, el, gf_, isof, mf, temps, coef_tab, dens_tab, aL_tab,
+     aDf_tab, kmax) = res
+    dtype = wv.dtype
+    C = SQRTLN2PI
+    L = _block_lines(spec, wv, el, gf_, isof, mf, temps, coef_tab,
+                     dens_tab, aL_tab, aDf_tab, kmax)
+    dist_b, xpand, _ax_lines, ax_ne = _block_geom(spec, wn_blk, wv)
+    inv_aD, y, k, wing, aD, aL = (L["inv_aD"], L["y"], L["k"], L["wing"],
+                                  L["aD"], L["aL"])
+
+    x_raw = SQRTLN2 * dist_b * xpand(inv_aD)
+    clamp = jnp.asarray(1e8, dtype)
+    x = jnp.minimum(x_raw, clamp)
+    wr, wi = wfn(x, xpand(y))
+    K = C * wr
+    P = K * xpand(inv_aD)
+    if taper > 0.0:
+        u = jnp.clip((xpand(wing) - dist_b) / taper + 0.5, 0.0, 1.0)
+    else:
+        u = (dist_b <= xpand(wing)).astype(dtype)
+
+    gb = g[:, :, None, :] if bol else g[:, :, :, None]  # match elem rank
+    yE = xpand(y) + jnp.zeros_like(x)        # broadcast for the identity
+    # Faddeeva identity: dK/dx = -2C (x wr - y wi);
+    #                    dK/dy = 2C (x wi + y wr) - 2C/sqrt(pi):
+    gK = gb * u * xpand(k) * xpand(inv_aD)   # d val / d K per element
+    gx = gK * (-2.0 * C) * (x * wr - yE * wi)
+    gyE = gK * (2.0 * C * (x * wi + yE * wr) - C * TWOOSQRTPI)
+
+    # inv_aD cotangent: through P = K/aD, x = sqrt(ln2) d/aD,
+    # y = sqrt(ln2) aL/aD (x term zero where the overflow clamp hit):
+    g_invaD_elem = (gb * u * xpand(k) * K +
+                    gx * SQRTLN2 * dist_b * (x_raw < clamp) +
+                    gyE * SQRTLN2 * xpand(aL))
+    red = lambda t: jnp.sum(t, axis=ax_ne)
+    gk = red(gb * u * P)                                  # (tb, nl, lc)
+    g_invaD = red(g_invaD_elem)
+    gaL_l = red(gyE) * SQRTLN2 * inv_aD
+    if taper > 0.0:
+        gu = gb * P * xpand(k)
+        gwing = red(jnp.where((u > 0.0) & (u < 1.0), gu, 0.0)) / taper
+        gaD = (-g_invaD * inv_aD * inv_aD +
+               gwing * nwidth * (aD >= aL).astype(dtype))
+        gaL_l = gaL_l + gwing * nwidth * (aL > aD).astype(dtype)
+    else:
+        gaD = -g_invaD * inv_aD * inv_aD
+    gaDf = gaD * wv[:, None, :]
+
+    # Strength chain k = where(keep, s*coef, 0) * dd:
+    gdd = gk * L["kd"]
+    gk0 = jnp.where(L["keep"], gk * L["dd"], 0.0)
+    gs = gk0 * L["coef"]
+    gcoef_l = gk0 * L["s"]
+    # ds/dT = (c2/T^2) gf e1 [el (1 - e2) - wv e2]:
+    t3 = L["t3"]
+    gT_line = gs * (EXPCTE / (t3 * t3)) * gf_[:, None, :] * L["e1"] * (
+        el[:, None, :] * (1.0 - L["e2"]) - wv[:, None, :] * L["e2"])
+    gT = jnp.sum(gT_line, axis=(0, 2))                    # (nl,)
+
+    # Per-(iso, layer) table cotangents via the same select masks:
+    def tab_grad(gl):
+        return jnp.stack([
+            jnp.sum(gl * (isof == n).astype(dtype)[:, None, :],
+                    axis=(0, 2)) for n in range(niso)])   # (niso, nl)
+
+    z = jnp.zeros_like
+    return (z(wn_blk), z(wv), z(el), z(gf_), z(isof), z(mf), gT,
+            tab_grad(gcoef_l), tab_grad(gdd), tab_grad(gaL_l),
+            tab_grad(gaDf), z(kmax))
+
+
+_block_val.defvjp(_block_val_fwd, _block_val_bwd)
+
+
 # Per-scan-step Voigt evaluation budget (elements of the fused
 # (tile_block, nlayer, tw, line_chunk) tensor).  Sizes the tile blocks so
 # few sequential steps remain without risking an oversized intermediate if
@@ -436,14 +636,22 @@ def _run_tiles(plan: FastPlan, d, dtiles, gidx, lmax: int, prep,
         wn_axis = wn_i + dwn * jnp.arange(tw, dtype=dtype)
     nt = dtiles["wavn"].shape[0]
 
-    # Line-chunk size: largest multiple of 128 <= line_chunk dividing lmax
-    # (lmax is always a multiple of 128):
+    # Line-chunk size: largest multiple of the layout granule <=
+    # line_chunk dividing lmax (lmax is always a granule multiple):
+    granule = 128 if plan.lanes == "lines" else 8
     lc = lmax
-    for cand in range(min(line_chunk, lmax), 0, -128):
+    for cand in range(min(line_chunk, lmax), 0, -granule):
         if lmax % cand == 0:
             lc = cand
             break
     nblk = lmax // lc
+
+    # Analytic block-level VJP (see _block_val): available for the two
+    # production Voigt kernels; other kernels take the generic
+    # autodiff-plus-remat path:
+    wfn_raw = _RAW_W.get(voigt_fn) if ANALYTIC_VJP else None
+    spec = (wfn_raw, int(prep["niso"]), float(ethresh), float(nwidth),
+            float(taper), plan.lanes == "bins")
 
     budget = int(eval_budget) if eval_budget else EVAL_BUDGET
     tb = max(1, min(nt, budget // max(1, nlayer * n_eval * lc)))
@@ -467,58 +675,32 @@ def _run_tiles(plan: FastPlan, d, dtiles, gidx, lmax: int, prep,
 
         def line_block(acc, sl2):
             wv, el, gf_, iso_, m_ = sl2                  # (tb, lc)
-            # (tb, nlayer, lc) strengths:
-            t3 = temps[None, :, None]
-            s = (gf_[:, None, :] * jnp.exp(-EXPCTE * el[:, None, :] / t3) *
-                 (1.0 - jnp.exp(-EXPCTE * wv[:, None, :] / t3)))
-            # Per-isotope (niso, nlayer) tables -> per-line (tb, nl, lc)
-            # by unrolled select-sum (fuses; avoids 4 large gathers whose
-            # HBM cost dwarfs the Voigt math):
-            coef = jnp.zeros_like(s)
-            dd = jnp.zeros_like(s)
-            aL = jnp.zeros_like(s)
-            aDf = jnp.zeros_like(s)
-            for n in range(prep["niso"]):
-                mm = (iso_ == n).astype(dtype)[:, None, :]
-                coef = coef + mm * prep["coef_iso"][n][None, :, None]
-                dd = dd + mm * prep["dens_iso"][n][None, :, None]
-                aL = aL + mm * prep["alphal_t"][n][None, :, None]
-                aDf = aDf + mm * prep["alphad_f_t"][n][None, :, None]
-            k = s * coef
-            keep = m_[:, None, :] & (k >= ethresh * kmax[None, :, None])
-            k = jnp.where(keep, k, 0.0) * dd
-            aD = aDf * wv[:, None, :]
-            # Lines ride the last (128-lane) axis; tw bins on sublanes:
-            dist = jnp.abs(wn_blk[:, :, None] - wv[:, None, :])  # (tb,ne,lc)
-            inv_aD = 1.0 / aD
-            # Clamp: padding lanes can reach x ~ 4e9 (bin-to-dummy-line
-            # distance over a minimal Doppler width), where |t|^4 inside
-            # the Humlicek rational overflows float32 and NaNs the
-            # backward pass; every physically used x (wing cutoff
-            # nwidth*max(aD,aL)/aD) is orders of magnitude below 1e8:
-            x = jnp.minimum(SQRTLN2 * dist[:, None] *
-                            inv_aD[:, :, None, :],
-                            jnp.asarray(1e8, dtype))     # (tb, nl, tw, lc)
-            y = SQRTLN2 * (aL * inv_aD)
-            prof = (voigt_fn(x, y[:, :, None, :]) *
-                    inv_aD[:, :, None, :])
-            wing = nwidth * jnp.maximum(aD, aL)
-            if taper > 0.0:
-                # Smooth wing cutoff: a centered linear ramp of width
-                # ``taper`` replacing the hard step.  A step cannot be
-                # represented on a decimated grid (cubic interpolation
-                # rings ~30% of the step height); the ramp is sampled
-                # faithfully at any stride <= taper/dwn.  The
-                # redistribution vs the hard cutoff is first-order
-                # centered (half in, half out) and far smaller than the
-                # tail mass the nwidth cutoff itself discards:
-                use = jnp.clip((wing[:, :, None, :] - dist[:, None]) /
-                               taper + 0.5, 0.0, 1.0)
-                val = jnp.sum(prof * use * k[:, :, None, :], axis=3)
-            else:
-                use = dist[:, None] <= wing[:, :, None, :]
-                val = jnp.sum(jnp.where(use, prof, 0.0) *
-                              k[:, :, None, :], axis=3)  # (tb, nlayer, ne)
+            if wfn_raw is not None:
+                # Analytic-VJP path: isotope ids and the pad mask ride
+                # as float tensors (zero cotangents); the whole element
+                # computation lives inside _block_val:
+                val = _block_val(spec, wn_blk, wv, el, gf_,
+                                 iso_.astype(dtype), m_.astype(dtype),
+                                 temps, prep["coef_iso"],
+                                 prep["dens_iso"], prep["alphal_t"],
+                                 prep["alphad_f_t"], kmax)
+                return acc + val, None
+            # Generic autodiff path (same math; remat'd by the caller).
+            # Clamp rationale: padding lanes can reach x ~ 4e9
+            # (bin-to-dummy-line distance over a minimal Doppler
+            # width), where |t|^4 inside the Humlicek rational
+            # overflows float32 and NaNs the backward pass; every
+            # physically used x is orders of magnitude below 1e8.
+            # _block_primal expects a raw (Re w, Im w) pair; adapt the
+            # K-returning public kernel (keeps its own custom VJP):
+            kfn = lambda xx, yy: (voigt_fn(xx, yy) / SQRTLN2PI, None)
+            gspec = (kfn, int(prep["niso"]), float(ethresh),
+                     float(nwidth), float(taper), plan.lanes == "bins")
+            val = _block_primal(gspec, wn_blk, wv, el, gf_,
+                                iso_.astype(dtype), m_.astype(dtype),
+                                temps, prep["coef_iso"],
+                                prep["dens_iso"], prep["alphal_t"],
+                                prep["alphad_f_t"], kmax)
             return acc + val, None
 
         sls = (w.reshape(tb, nblk, lc).swapaxes(0, 1),
@@ -536,13 +718,15 @@ def _run_tiles(plan: FastPlan, d, dtiles, gidx, lmax: int, prep,
     blocks = (wv_t.reshape(nb, tb, lmax), el_t.reshape(nb, tb, lmax),
               gf_t.reshape(nb, tb, lmax), iso_t.reshape(nb, tb, lmax),
               msk_t.reshape(nb, tb, lmax), gidx_t.reshape(nb, tb))
-    # Remat each tile block: without it, reverse-mode through the block
-    # loop stores every block's (tb, nl, tw, lc) Voigt intermediates —
-    # the FULL eval volume (tens of GB per spectrum; a vmapped batch-32
-    # gradient asked for 176 GB of HBM).  With checkpoint the backward
-    # recomputes one block at a time, capping residuals at one block's
-    # eval budget (~tens of MB) for ~1.3x extinction FLOPs:
-    block_ck = jax.checkpoint(block_fn)
+    # Memory policy for reverse mode: with the analytic block VJP the
+    # only backward residuals are the chunk inputs (one extra copy of
+    # the line tensors; no element-sized storage, no replay).  The
+    # generic autodiff path instead needs jax.checkpoint: without it
+    # the backward stores every block's (tb, nl, ne, lc) Voigt
+    # intermediates — the FULL eval volume (a vmapped batch-32 gradient
+    # asked for 176 GB of HBM); with it the backward recomputes one
+    # block at a time for ~1.3x extinction FLOPs:
+    block_ck = block_fn if wfn_raw is not None else jax.checkpoint(block_fn)
     if nb == 1:
         out = block_ck(tuple(a[0] for a in blocks))
     else:
@@ -761,17 +945,40 @@ def make_banded_plans(wavn, isoid, elow, gf, wn_i: float, dwn: float,
             while s <= smax and bool(np.any(bound(s) < halo_wn)):
                 strides.append(s)
                 s *= 2
+        def mk_far(s0, e0, ne):
+            """Far-shell subplan with a layout choice: sparse shells
+            (tens of lines/tile) pad 3-8x when lines ride the 128-lane
+            axis; putting BINS on lanes and lines on the 8-wide sublane
+            axis cuts the padding to the sublane granule.  Pick the
+            layout with the smaller estimated register-padding waste.
+            Only active with far_decimate (the exactness fallback keeps
+            the reference layout and summation order)."""
+            cnt = e0 - s0
+            mean_c = float(cnt.sum()) / max(len(cnt), 1)
+            waste_lines = max(128.0, mean_c) / max(mean_c, 1.0)
+            lane_pad = 128.0 * (-(-ne // 128)) / ne
+            waste_bins = lane_pad * max(8.0, mean_c) / max(mean_c, 1.0)
+            lanes = ("bins" if far_decimate and waste_bins < waste_lines
+                     else "lines")
+            return _subplan(wavn_s, isoid_s, elow_s, gf_s, s0, e0,
+                            tw=tw, ntiles=ntiles, n_coarse=n_coarse,
+                            halo_rep=float(halo.max()), classes=classes,
+                            lanes=lanes)
+
         shells = []
         for si, s in enumerate(strides):
             lo_b = bound(s)
             hi_b = (bound(strides[si + 1]) if si + 1 < len(strides)
                     else halo_wn)
+            ne = tw // s + 3 if s > 1 else tw
             sL0 = np.searchsorted(wavn_s, tile_lo - hi_b, side="left")
             sL1 = np.searchsorted(wavn_s, tile_lo - lo_b, side="left")
             sR0 = np.searchsorted(wavn_s, tile_hi + lo_b, side="right")
             sR1 = np.searchsorted(wavn_s, tile_hi + hi_b, side="right")
-            pL = mk(sL0, sL1) if int((sL1 - sL0).max()) > 0 else None
-            pR = mk(sR0, sR1) if int((sR1 - sR0).max()) > 0 else None
+            pL = (mk_far(sL0, sL1, ne)
+                  if int((sL1 - sL0).max()) > 0 else None)
+            pR = (mk_far(sR0, sR1, ne)
+                  if int((sR1 - sR0).max()) > 0 else None)
             if pL is not None or pR is not None:
                 shells.append((pL, pR, s))
         far_plans.append(shells if shells else None)
