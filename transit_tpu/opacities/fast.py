@@ -35,7 +35,9 @@ import jax.numpy as jnp
 from transit_tpu.constants import SQRTLN2, SIGCTE, EXPCTE, KB, AMU, LS, PI
 from transit_tpu.opacities.voigt import (voigt_k, voigt_k_humlicek,
                                          voigt_k_humlicek_r2,
+                                         voigt_k_asym2,
                                          _humlicek_w, _humlicek_w_r2,
+                                         _w_asym2,
                                          SQRTLN2PI, TWOOSQRTPI)
 
 # Far-line margin: region II of the Humlicek w4 kernel is selected when
@@ -57,6 +59,13 @@ R2_MARGIN = 1.02 * 5.5 / float(SQRTLN2)
 # reference evaluates these smooth wings at full resolution
 # (extinction.c:485-509, voigt.c:182-199 region-II rational per bin).
 FAR_FACTOR = 24
+
+# Scaled-distance threshold for the two-term asymptotic Faddeeva kernel
+# (voigt.py _w_asym2): shells whose every line sits at x >= X_ASYM from
+# every evaluation point use it instead of the region-II rational
+# (measured worst-case relative error 2.6e-4 * (11/x)^4 at small y:
+# <= 7.5e-5 at x = 15, under the shells' decimation budget):
+X_ASYM = 15.0
 
 
 @dataclasses.dataclass
@@ -84,6 +93,19 @@ class FastPlan:
     # axis (lmax rounds to 8) — chosen for sparse far shells, whose
     # ~20-40 lines/tile would otherwise pad 3-8x to fill the lanes:
     lanes: str = "lines"
+    # Voigt kernel this plan's lines are valid for: "w4" (full Humlicek),
+    # "r2" (region-II rational — far shells), or "asym2" (two-term
+    # asymptotic — outer shells with x >= X_ASYM everywhere):
+    wfn_tag: str = "w4"
+    # Decimated-shell line weighting (see _block_lines): band width
+    # bounds (aL_max, aDf_max) from which the kernel reconstructs each
+    # tile's halo; None = per-layer hard wing cutoff (near/s1 shells):
+    line_weight: tuple = None
+
+
+# Executor-side kernel lookup for far-shell plans:
+FAR_KERNELS = {"r2": voigt_k_humlicek_r2, "asym2": voigt_k_asym2,
+               "w4": voigt_k_humlicek}
 
 
 def make_fast_plan(wavn, isoid, elow, gf, wn_i: float, dwn: float,
@@ -161,7 +183,8 @@ def _tile_classes(count, lmax: int, classes: bool, min_level: int = 128):
 
 
 def _subplan(wavn, isoid, elow, gf, start, end, tw, ntiles, n_coarse,
-             halo_rep, classes, lanes: str = "lines"):
+             halo_rep, classes, lanes: str = "lines",
+             wfn_tag: str = "w4", line_weight: tuple = None):
     """FastPlan over pre-sorted line arrays with explicit per-tile line
     ranges [start, end)."""
     count = end - start
@@ -177,7 +200,8 @@ def _subplan(wavn, isoid, elow, gf, start, end, tw, ntiles, n_coarse,
                     tile_count=count.astype(np.int32),
                     lmax=lmax, tw=tw, ntiles=ntiles, n_coarse=n_coarse,
                     halo_bins=halo_rep, class_tiles=class_tiles,
-                    class_lmax=class_lmax, lanes=lanes)
+                    class_lmax=class_lmax, lanes=lanes, wfn_tag=wfn_tag,
+                    line_weight=line_weight)
 
 
 def _tile_tensors(plan: FastPlan, tiles, lmax, dtype):
@@ -235,8 +259,7 @@ def fast_extinction(plan: FastPlan, d, temps, densities,
                     ethresh: float, nwidth: float, line_chunk: int = 512,
                     eval_budget: int = 0, prep=None,
                     voigt_fn=voigt_k_humlicek, kmax_override=None,
-                    unit_density: bool = False, stride: int = 1,
-                    taper: float = 0.0):
+                    unit_density: bool = False, stride: int = 1):
     """Extinction (nlayer, n_coarse) for all layers (single device).
 
     ``prep`` (from :func:`_prep_layers`) may be shared across the near/far
@@ -257,7 +280,7 @@ def fast_extinction(plan: FastPlan, d, temps, densities,
         tiles = _run_tiles(plan, d, dtiles, gidx, plan.lmax, prep, wn_i,
                            dwn, ethresh, nwidth, line_chunk,
                            eval_budget=eval_budget, voigt_fn=voigt_fn,
-                           stride=stride, taper=taper)
+                           stride=stride)
         out = jnp.moveaxis(tiles, 0, 1).reshape(nlayer,
                                                 plan.ntiles * plan.tw)
         return out[:, :plan.n_coarse]
@@ -270,7 +293,7 @@ def fast_extinction(plan: FastPlan, d, temps, densities,
         parts.append(_run_tiles(plan, d, dc, gidx, lm, prep, wn_i, dwn,
                                 ethresh, nwidth, line_chunk,
                                 eval_budget=eval_budget, voigt_fn=voigt_fn,
-                                stride=stride, taper=taper))
+                                stride=stride))
     tiles = jnp.concatenate(parts, axis=0)       # (ntiles, nlayer, tw)
     order = np.concatenate(plan.class_tiles)
     inv = np.empty_like(order)
@@ -405,7 +428,9 @@ def _upsample_cr(x, stride: int, tw: int):
 
 # Map from the public Voigt kernels to their raw (Re w, Im w) pair
 # implementations, used by the analytic block VJP below:
-_RAW_W = {voigt_k_humlicek: _humlicek_w, voigt_k_humlicek_r2: _humlicek_w_r2}
+_RAW_W = {voigt_k_humlicek: _humlicek_w,
+          voigt_k_humlicek_r2: _humlicek_w_r2,
+          voigt_k_asym2: _w_asym2}
 
 # Global toggle for the analytic block-level VJP (A/B and debugging);
 # when False the tile kernel falls back to plain autodiff + remat:
@@ -429,12 +454,41 @@ def _block_geom(spec, wn_blk, wv):
     return dist[:, None], (lambda a: a[:, :, None, :]), 3, 2
 
 
+def _line_halo_weight(spec, wv, tile_lo):
+    """Smooth per-(line, tile) halo weight for decimated shells.
+
+    Decimated shells carry no per-layer wing cutoff — a per-layer step
+    (or any narrow ramp) cannot be represented on a decimated grid, and
+    interpolating through it costs percent-level artifacts near every
+    cutoff.  Instead every line in a decimated shell contributes its
+    full smooth wing across the tile, rolled off at the BAND's halo by
+    this weight: a smoothstep from 1 at distance 0.875*halo(tile) to 0
+    at 1.125*halo(tile), where halo(tile) mirrors the planner's bound
+    nwidth*max(aL_max, aDf_max*wn_hi) + dwn.  The weight is constant
+    per (line, tile), so the shell field stays exactly as smooth as the
+    wings themselves and decimation error is pure interpolation error.
+    The physics difference vs the reference-style per-layer cutoff —
+    narrower-than-band-max layers keep their wings out to the band halo
+    (< 3x their own nwidth bound at band ratio 3) — is of the same
+    class as the nwidth truncation itself and is bounded by test
+    against the nwidth 20 -> 30 modeling shift."""
+    wfn, niso, ethresh, nwidth, lw, bol = spec
+    aL_max, aDf_max, tw_wn, dwn = lw
+    tile_hi = tile_lo + tw_wn
+    halo_t = nwidth * jnp.maximum(aL_max, aDf_max * tile_hi) + dwn
+    d_line = jnp.maximum(jnp.maximum(tile_lo[:, None] - wv,
+                                     wv - tile_hi[:, None]), 0.0)
+    v = jnp.clip((1.125 * halo_t[:, None] - d_line) /
+                 (0.25 * halo_t[:, None]), 0.0, 1.0)
+    return v * v * (3.0 - 2.0 * v)                       # (tb, lc)
+
+
 def _block_lines(spec, wv, el, gf_, isof, mf, temps, coef_tab, dens_tab,
-                 aL_tab, aDf_tab, kmax):
+                 aL_tab, aDf_tab, kmax, tile_lo):
     """Line-level (tb, nlayer, lc) tensors shared by the primal and the
     analytic backward: strength, iso-table select-sums, ethresh mask,
     widths (extinction.c:364-427 quantities)."""
-    wfn, niso, ethresh, nwidth, taper, bol = spec
+    wfn, niso, ethresh, nwidth, lw, bol = spec
     dtype = wv.dtype
     t3 = temps[None, :, None]
     e1 = jnp.exp(-EXPCTE * el[:, None, :] / t3)
@@ -450,6 +504,10 @@ def _block_lines(spec, wv, el, gf_, isof, mf, temps, coef_tab, dens_tab,
         dd = dd + mm * dens_tab[n][None, :, None]
         aL = aL + mm * aL_tab[n][None, :, None]
         aDf = aDf + mm * aDf_tab[n][None, :, None]
+    wl = None
+    if lw is not None:
+        wl = _line_halo_weight(spec, wv, tile_lo)
+        dd = dd * wl[:, None, :]
     k0 = s * coef
     keep = (mf[:, None, :] > 0) & (k0 >= ethresh * kmax[None, :, None])
     kd = jnp.where(keep, k0, 0.0)
@@ -460,32 +518,32 @@ def _block_lines(spec, wv, el, gf_, isof, mf, temps, coef_tab, dens_tab,
     wing = nwidth * jnp.maximum(aD, aL)
     return dict(e1=e1, e2=e2, s=s, coef=coef, dd=dd, aL=aL, aDf=aDf,
                 keep=keep, kd=kd, k=k, aD=aD, inv_aD=inv_aD, y=y,
-                wing=wing, t3=t3)
+                wing=wing, t3=t3, wl=wl)
 
 
-def _block_primal(spec, wn_blk, wv, el, gf_, isof, mf, temps, coef_tab,
-                  dens_tab, aL_tab, aDf_tab, kmax):
-    wfn, niso, ethresh, nwidth, taper, bol = spec
+def _block_primal(spec, wn_blk, tile_lo, wv, el, gf_, isof, mf, temps,
+                  coef_tab, dens_tab, aL_tab, aDf_tab, kmax):
+    wfn, niso, ethresh, nwidth, lw, bol = spec
     dtype = wv.dtype
     L = _block_lines(spec, wv, el, gf_, isof, mf, temps, coef_tab,
-                     dens_tab, aL_tab, aDf_tab, kmax)
+                     dens_tab, aL_tab, aDf_tab, kmax, tile_lo)
     dist_b, xpand, ax_lines, _ax_ne = _block_geom(spec, wn_blk, wv)
     x = jnp.minimum(SQRTLN2 * dist_b * xpand(L["inv_aD"]),
                     jnp.asarray(1e8, dtype))
     wr, _wi = wfn(x, xpand(L["y"]))
     prof = SQRTLN2PI * wr * xpand(L["inv_aD"])
-    if taper > 0.0:
-        use = jnp.clip((xpand(L["wing"]) - dist_b) / taper + 0.5,
-                       0.0, 1.0)
-        return jnp.sum(prof * use * xpand(L["k"]), axis=ax_lines)
+    if lw is not None:
+        # Decimated shell: the smooth per-line halo weight is already
+        # folded into k (see _block_lines); no per-layer mask:
+        return jnp.sum(prof * xpand(L["k"]), axis=ax_lines)
     use = dist_b <= xpand(L["wing"])
     return jnp.sum(jnp.where(use, prof, 0.0) * xpand(L["k"]),
                    axis=ax_lines)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _block_val(spec, wn_blk, wv, el, gf_, isof, mf, temps, coef_tab,
-               dens_tab, aL_tab, aDf_tab, kmax):
+def _block_val(spec, wn_blk, tile_lo, wv, el, gf_, isof, mf, temps,
+               coef_tab, dens_tab, aL_tab, aDf_tab, kmax):
     """One line-chunk's extinction contribution (tb, nlayer, n_eval)
     with an ANALYTIC block-level VJP (VERDICT r4 next #2).
 
@@ -501,29 +559,30 @@ def _block_val(spec, wn_blk, wv, el, gf_, isof, mf, temps, coef_tab,
     tables and the layer temperatures — one fused element pass, no
     element-sized residuals, no replay.
 
-    spec (static): (raw_w_fn, niso, ethresh, nwidth, taper,
+    spec (static): (raw_w_fn, niso, ethresh, nwidth, line_weight,
     bins_on_lanes).
     """
-    return _block_primal(spec, wn_blk, wv, el, gf_, isof, mf, temps,
-                         coef_tab, dens_tab, aL_tab, aDf_tab, kmax)
+    return _block_primal(spec, wn_blk, tile_lo, wv, el, gf_, isof, mf,
+                         temps, coef_tab, dens_tab, aL_tab, aDf_tab,
+                         kmax)
 
 
-def _block_val_fwd(spec, wn_blk, wv, el, gf_, isof, mf, temps, coef_tab,
-                   dens_tab, aL_tab, aDf_tab, kmax):
-    val = _block_primal(spec, wn_blk, wv, el, gf_, isof, mf, temps,
-                        coef_tab, dens_tab, aL_tab, aDf_tab, kmax)
-    return val, (wn_blk, wv, el, gf_, isof, mf, temps, coef_tab,
+def _block_val_fwd(spec, wn_blk, tile_lo, wv, el, gf_, isof, mf, temps,
+                   coef_tab, dens_tab, aL_tab, aDf_tab, kmax):
+    val = _block_primal(spec, wn_blk, tile_lo, wv, el, gf_, isof, mf,
+                        temps, coef_tab, dens_tab, aL_tab, aDf_tab, kmax)
+    return val, (wn_blk, tile_lo, wv, el, gf_, isof, mf, temps, coef_tab,
                  dens_tab, aL_tab, aDf_tab, kmax)
 
 
 def _block_val_bwd(spec, res, g):
-    wfn, niso, ethresh, nwidth, taper, bol = spec
-    (wn_blk, wv, el, gf_, isof, mf, temps, coef_tab, dens_tab, aL_tab,
-     aDf_tab, kmax) = res
+    wfn, niso, ethresh, nwidth, lw, bol = spec
+    (wn_blk, tile_lo, wv, el, gf_, isof, mf, temps, coef_tab, dens_tab,
+     aL_tab, aDf_tab, kmax) = res
     dtype = wv.dtype
     C = SQRTLN2PI
     L = _block_lines(spec, wv, el, gf_, isof, mf, temps, coef_tab,
-                     dens_tab, aL_tab, aDf_tab, kmax)
+                     dens_tab, aL_tab, aDf_tab, kmax, tile_lo)
     dist_b, xpand, _ax_lines, ax_ne = _block_geom(spec, wn_blk, wv)
     inv_aD, y, k, wing, aD, aL = (L["inv_aD"], L["y"], L["k"], L["wing"],
                                   L["aD"], L["aL"])
@@ -534,8 +593,8 @@ def _block_val_bwd(spec, res, g):
     wr, wi = wfn(x, xpand(y))
     K = C * wr
     P = K * xpand(inv_aD)
-    if taper > 0.0:
-        u = jnp.clip((xpand(wing) - dist_b) / taper + 0.5, 0.0, 1.0)
+    if lw is not None:
+        u = jnp.asarray(1.0, dtype)       # line weight lives inside k
     else:
         u = (dist_b <= xpand(wing)).astype(dtype)
 
@@ -556,17 +615,11 @@ def _block_val_bwd(spec, res, g):
     gk = red(gb * u * P)                                  # (tb, nl, lc)
     g_invaD = red(g_invaD_elem)
     gaL_l = red(gyE) * SQRTLN2 * inv_aD
-    if taper > 0.0:
-        gu = gb * P * xpand(k)
-        gwing = red(jnp.where((u > 0.0) & (u < 1.0), gu, 0.0)) / taper
-        gaD = (-g_invaD * inv_aD * inv_aD +
-               gwing * nwidth * (aD >= aL).astype(dtype))
-        gaL_l = gaL_l + gwing * nwidth * (aL > aD).astype(dtype)
-    else:
-        gaD = -g_invaD * inv_aD * inv_aD
+    gaD = -g_invaD * inv_aD * inv_aD
     gaDf = gaD * wv[:, None, :]
 
-    # Strength chain k = where(keep, s*coef, 0) * dd:
+    # Strength chain k = where(keep, s*coef, 0) * dd  (dd carries the
+    # per-line halo weight wl in decimated shells):
     gdd = gk * L["kd"]
     gk0 = jnp.where(L["keep"], gk * L["dd"], 0.0)
     gs = gk0 * L["coef"]
@@ -577,15 +630,18 @@ def _block_val_bwd(spec, res, g):
         el[:, None, :] * (1.0 - L["e2"]) - wv[:, None, :] * L["e2"])
     gT = jnp.sum(gT_line, axis=(0, 2))                    # (nl,)
 
-    # Per-(iso, layer) table cotangents via the same select masks:
+    # Per-(iso, layer) table cotangents via the same select masks;
+    # dd_eff = (sum_n mm_n dens_tab[n]) * wl, so the dens cotangent
+    # carries the extra wl factor:
     def tab_grad(gl):
         return jnp.stack([
             jnp.sum(gl * (isof == n).astype(dtype)[:, None, :],
                     axis=(0, 2)) for n in range(niso)])   # (niso, nl)
 
+    gdd_tab = gdd if L["wl"] is None else gdd * L["wl"][:, None, :]
     z = jnp.zeros_like
-    return (z(wn_blk), z(wv), z(el), z(gf_), z(isof), z(mf), gT,
-            tab_grad(gcoef_l), tab_grad(gdd), tab_grad(gaL_l),
+    return (z(wn_blk), z(tile_lo), z(wv), z(el), z(gf_), z(isof), z(mf),
+            gT, tab_grad(gcoef_l), tab_grad(gdd_tab), tab_grad(gaL_l),
             tab_grad(gaDf), z(kmax))
 
 
@@ -602,8 +658,7 @@ EVAL_BUDGET = 4 << 20
 def _run_tiles(plan: FastPlan, d, dtiles, gidx, lmax: int, prep,
                wn_i: float, dwn: float, ethresh: float, nwidth: float,
                line_chunk: int, eval_budget: int = 0,
-               voigt_fn=voigt_k_humlicek, stride: int = 1,
-               taper: float = 0.0):
+               voigt_fn=voigt_k_humlicek, stride: int = 1):
     """Extinction tiles (nt, nlayer, tw) for the tile tensors ``dtiles``
     (leading dim nt) whose global tile indices are ``gidx`` (may be
     traced).
@@ -646,12 +701,15 @@ def _run_tiles(plan: FastPlan, d, dtiles, gidx, lmax: int, prep,
             break
     nblk = lmax // lc
 
-    # Analytic block-level VJP (see _block_val): available for the two
+    # Analytic block-level VJP (see _block_val): available for the
     # production Voigt kernels; other kernels take the generic
     # autodiff-plus-remat path:
     wfn_raw = _RAW_W.get(voigt_fn) if ANALYTIC_VJP else None
+    lw = (None if plan.line_weight is None else
+          (float(plan.line_weight[0]), float(plan.line_weight[1]),
+           float(plan.tw * dwn), float(dwn)))
     spec = (wfn_raw, int(prep["niso"]), float(ethresh), float(nwidth),
-            float(taper), plan.lanes == "bins")
+            lw, plan.lanes == "bins")
 
     budget = int(eval_budget) if eval_budget else EVAL_BUDGET
     tb = max(1, min(nt, budget // max(1, nlayer * n_eval * lc)))
@@ -671,6 +729,7 @@ def _run_tiles(plan: FastPlan, d, dtiles, gidx, lmax: int, prep,
 
     def block_fn(sl):
         w, e, g, i, msk, tidx = sl                       # (tb, lmax) / (tb,)
+        tile_lo = wn_i + dwn * (tidx.astype(dtype) * tw)       # (tb,)
         wn_blk = wn_axis[None, :] + dwn * (tidx[:, None].astype(dtype) * tw)
 
         def line_block(acc, sl2):
@@ -679,7 +738,7 @@ def _run_tiles(plan: FastPlan, d, dtiles, gidx, lmax: int, prep,
                 # Analytic-VJP path: isotope ids and the pad mask ride
                 # as float tensors (zero cotangents); the whole element
                 # computation lives inside _block_val:
-                val = _block_val(spec, wn_blk, wv, el, gf_,
+                val = _block_val(spec, wn_blk, tile_lo, wv, el, gf_,
                                  iso_.astype(dtype), m_.astype(dtype),
                                  temps, prep["coef_iso"],
                                  prep["dens_iso"], prep["alphal_t"],
@@ -695,8 +754,8 @@ def _run_tiles(plan: FastPlan, d, dtiles, gidx, lmax: int, prep,
             # K-returning public kernel (keeps its own custom VJP):
             kfn = lambda xx, yy: (voigt_fn(xx, yy) / SQRTLN2PI, None)
             gspec = (kfn, int(prep["niso"]), float(ethresh),
-                     float(nwidth), float(taper), plan.lanes == "bins")
-            val = _block_primal(gspec, wn_blk, wv, el, gf_,
+                     float(nwidth), lw, plan.lanes == "bins")
+            val = _block_primal(gspec, wn_blk, tile_lo, wv, el, gf_,
                                 iso_.astype(dtype), m_.astype(dtype),
                                 temps, prep["coef_iso"],
                                 prep["dens_iso"], prep["alphal_t"],
@@ -747,8 +806,7 @@ def fast_extinction_tiles(plan: FastPlan, d, temps, densities,
                           line_chunk: int = 512, eval_budget: int = 0,
                           prep=None, voigt_fn=voigt_k_humlicek,
                           kmax_override=None, gidx=None,
-                          unit_density: bool = False, stride: int = 1,
-                    taper: float = 0.0):
+                          unit_density: bool = False, stride: int = 1):
     """Extinction (nlayer, ntiles*tw) for a device-local tile set.
 
     ``d`` holds this set's tile tensors (wavn/elow/gf/iso/mask, first dim
@@ -777,7 +835,7 @@ def fast_extinction_tiles(plan: FastPlan, d, temps, densities,
               for k in ("wavn", "elow", "gf", "iso", "mask")}
     tiles = _run_tiles(plan, d, dtiles, gidx, plan.lmax, prep, wn_i, dwn,
                        ethresh, nwidth, line_chunk, eval_budget=eval_budget,
-                       voigt_fn=voigt_fn, stride=stride, taper=taper)
+                       voigt_fn=voigt_fn, stride=stride)
     # (ntiles, nlayer, tw) -> (nlayer, ntiles*tw)
     return jnp.moveaxis(tiles, 0, 1).reshape(nlayer, ntiles * plan.tw)
 
@@ -836,7 +894,7 @@ def layer_width_bounds(atm, mol, iso_mass, iso_imol=None):
 def make_banded_plans(wavn, isoid, elow, gf, wn_i: float, dwn: float,
                       n_coarse: int, aL_layers, aDf_layers, wn_max: float,
                       nwidth: float, max_bands: int = 4,
-                      ratio: float = 3.0, tw_scale: float = 1.0,
+                      ratio: float = 3.0, tw_scale: float = None,
                       classes: bool = True,
                       split_far: bool = True,
                       far_decimate: bool = True,
@@ -847,11 +905,15 @@ def make_banded_plans(wavn, isoid, elow, gf, wn_i: float, dwn: float,
     A new band starts when the layer width falls below 1/ratio of the
     current band's maximum, up to max_bands bands.
 
-    tw_scale: tile width multiplier over the halo-sized default.  Wasted
-    Voigt work grows ~ (tw + 2 halo) while the tile count shrinks ~ 1/tw;
-    since tiles execute in dense blocks (_run_tiles), small tiles no
-    longer pay per-tile dispatch, and the TPU sweep (benchmarks/
-    sweep_tw.py) puts the optimum at tw ~ halo.
+    tw_scale: tile width multiplier over the halo-sized default; None
+    (default) picks per band: tw ~ halo for small halos (the TPU sweep
+    benchmarks/sweep_tw.py optimum when every bucketed line is near),
+    but tw ~ halo/4 once the halo exceeds 128 bins — there the far
+    distance shells carry the wings, the near window only needs to
+    cover the region-II margin, and a narrow tile cuts the dominant
+    per-line near cost ~ (tw + 2*margin) (measured on the 950k-bin
+    wide workload: tw_scale 1.0 -> 0.25 gives 3.99e7 -> 5.59e7
+    points*layers/s).
 
     split_far: per tile, partition the bucketed lines into a *near* window
     (within R2_MARGIN Doppler widths of a tile bin — full Humlicek w4) and
@@ -889,11 +951,13 @@ def make_banded_plans(wavn, isoid, elow, gf, wn_i: float, dwn: float,
     for (a, b) in slices:
         sel = perm[a:b]
         halo_est = nwidth * float(w[sel].max()) / dwn
+        scale = (tw_scale if tw_scale
+                 else (0.25 if halo_est >= 128.0 else 1.0))
         # Snap to a power of two so every band's tiles align on a common
         # block size (the sharded path splits the wavenumber axis at
         # max-tw boundaries):
         tw = int(min(512, max(8, 2 ** int(np.ceil(np.log2(
-            max(halo_est * tw_scale, 1.0)))))))
+            max(halo_est * scale, 1.0)))))))
         aL_max = float(aL_layers[sel].max())
         aDf_max = float(aDf_layers[sel].max())
         ntiles = -(-n_coarse // tw)
@@ -945,7 +1009,7 @@ def make_banded_plans(wavn, isoid, elow, gf, wn_i: float, dwn: float,
             while s <= smax and bool(np.any(bound(s) < halo_wn)):
                 strides.append(s)
                 s *= 2
-        def mk_far(s0, e0, ne):
+        def mk_far(s0, e0, ne, lo_b, stride_s):
             """Far-shell subplan with a layout choice: sparse shells
             (tens of lines/tile) pad 3-8x when lines ride the 128-lane
             axis; putting BINS on lanes and lines on the 8-wide sublane
@@ -960,24 +1024,43 @@ def make_banded_plans(wavn, isoid, elow, gf, wn_i: float, dwn: float,
             waste_bins = lane_pad * max(8.0, mean_c) / max(mean_c, 1.0)
             lanes = ("bins" if far_decimate and waste_bins < waste_lines
                      else "lines")
+            # Kernel choice: every line of this shell sits at scaled
+            # distance >= x_min from every evaluation point (one
+            # decimated sample beyond each tile edge); beyond X_ASYM
+            # the cheap asymptotic pair replaces the region-II
+            # rational.  aD is bounded by the largest line wavenumber
+            # the shell can contain:
+            aD_hi = aDf_max * (wn_hi_tile + halo_wn)
+            x_min = float(np.min(float(SQRTLN2) *
+                                 (lo_b - stride_s * dwn) / aD_hi))
+            tag = ("asym2" if far_decimate and x_min >= X_ASYM
+                   else "r2")
+            # Decimated shells use the smooth per-line halo weight in
+            # place of the per-layer wing cutoff (_line_halo_weight):
+            lwt = ((aL_max, aDf_max) if stride_s > 1 else None)
             return _subplan(wavn_s, isoid_s, elow_s, gf_s, s0, e0,
                             tw=tw, ntiles=ntiles, n_coarse=n_coarse,
                             halo_rep=float(halo.max()), classes=classes,
-                            lanes=lanes)
+                            lanes=lanes, wfn_tag=tag, line_weight=lwt)
 
         shells = []
         for si, s in enumerate(strides):
             lo_b = bound(s)
-            hi_b = (bound(strides[si + 1]) if si + 1 < len(strides)
-                    else halo_wn)
+            # The outermost decimated shell extends to 1.125*halo: its
+            # per-line halo weight ramps over [0.875, 1.125]*halo, so
+            # ramp lines must be bucketed (weight-zero beyond):
+            if si + 1 < len(strides):
+                hi_b = bound(strides[si + 1])
+            else:
+                hi_b = halo_wn if s == 1 else 1.125 * halo_wn
             ne = tw // s + 3 if s > 1 else tw
             sL0 = np.searchsorted(wavn_s, tile_lo - hi_b, side="left")
             sL1 = np.searchsorted(wavn_s, tile_lo - lo_b, side="left")
             sR0 = np.searchsorted(wavn_s, tile_hi + lo_b, side="right")
             sR1 = np.searchsorted(wavn_s, tile_hi + hi_b, side="right")
-            pL = (mk_far(sL0, sL1, ne)
+            pL = (mk_far(sL0, sL1, ne, lo_b, s)
                   if int((sL1 - sL0).max()) > 0 else None)
-            pR = (mk_far(sR0, sR1, ne)
+            pR = (mk_far(sR0, sR1, ne, lo_b, s)
                   if int((sR1 - sR0).max()) > 0 else None)
             if pL is not None or pR is not None:
                 shells.append((pL, pR, s))
@@ -1022,10 +1105,10 @@ def banded_extinction(bplan: BandedPlan, devs, temps, densities, Z,
     same quantity as fast_extinction (wing masks use true widths, and far
     lines take the region-II branch the full kernel would select).
 
-    Decimated far shells (stride > 1) use a tapered wing cutoff of width
-    2*stride*dwn in place of the hard step (see _run_tiles).
+    Decimated far shells (stride > 1) replace the per-layer wing cutoff
+    with a smooth per-(line, tile) halo weight (see _line_halo_weight).
     ``far_full_res=True`` evaluates those shells at FULL resolution with
-    the SAME taper — the reference baseline that isolates the pure
+    the SAME weighting — the reference baseline that isolates the pure
     decimation (interpolation) error for conformance tests."""
     perm = jnp.asarray(bplan.perm)
     rows = []
@@ -1053,9 +1136,8 @@ def banded_extinction(bplan: BandedPlan, devs, temps, densities, Z,
                 fd = dict(d, **fdt)  # shared all_*/iso_* + shell tiles
                 ex = ex + fast_extinction(
                     fp, fd, *args, prep=prep,
-                    voigt_fn=voigt_k_humlicek_r2,
-                    stride=(1 if far_full_res else s),
-                    taper=(4.0 * s * dwn if s > 1 else 0.0), **kw)
+                    voigt_fn=FAR_KERNELS[fp.wfn_tag],
+                    stride=(1 if far_full_res else s), **kw)
         rows.append(ex)
     out = jnp.concatenate(rows, axis=0)          # permuted layer order
     return out[jnp.asarray(bplan.inv_perm)]

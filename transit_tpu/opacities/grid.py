@@ -292,8 +292,6 @@ def build_opacity_grid_fast(model, path: str = None,
             # full line-tensor payload (measured: 39 programs = 2.5 GB of
             # cache; one request exceeded the tunnel's size limit).
             def band_fn(dev, t_, d_, z_, plan=plan_i, far=far):
-                from transit_tpu.opacities.voigt import \
-                    voigt_k_humlicek_r2
                 prep = fast._prep_layers(plan, dev, t_, d_, z_,
                                          mol_mass, mol_radius, 512,
                                          unit_density=True)
@@ -308,9 +306,8 @@ def build_opacity_grid_fast(model, path: str = None,
                         fd = dict(dev, **fdt)
                         ex = ex + fast.fast_extinction(
                             fp, fd, *args, prep=prep,
-                            voigt_fn=voigt_k_humlicek_r2, stride=s,
-                            taper=(2.0 * s * model.wns.d if s > 1
-                                   else 0.0), **kw)
+                            voigt_fn=fast.FAR_KERNELS[fp.wfn_tag],
+                            stride=s, **kw)
                 return ex
 
             jfn = jax.jit(band_fn)

@@ -331,6 +331,53 @@ def _vkh2_fwd(x, y):
 voigt_k_humlicek_r2.defvjp(_vkh2_fwd, _vkh_bwd)
 
 
+def _w_asym2(x, y):
+    """Two-term asymptotic (Laurent) Faddeeva pair:
+    w(z) ~ (i/sqrt(pi)) (1/z + 1/(2 z^3)),  z = x + i y.
+
+    The next term is 3/(4 z^4) of the leading one, so the relative
+    error is <= 3/(4 |z|^4): below 5e-5 for |z| >= 11 — the regime of
+    the outer far-wing distance shells, where the region-II rational's
+    two divides and ~34 flops are overkill (this needs one divide and
+    ~16 flops).  |z|^2 is floored at 1 for the same reason as the
+    region-II kernel: zero-weighted padding lanes may sit on a bin
+    (x ~ y ~ 0) and must stay finite; valid lanes have |z|^2 >= 121.
+    """
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    dtype = jnp.result_type(x, y)
+    x = x.astype(dtype)
+    y = jnp.broadcast_to(y.astype(dtype), x.shape)
+    r2 = jnp.maximum(x * x + y * y, jnp.asarray(1.0, dtype))
+    rinv = 1.0 / r2
+    ur = x * rinv                 # 1/z = (x - i y)/|z|^2
+    ui = -y * rinv
+    u2r = ur * ur - ui * ui
+    u2i = 2.0 * ur * ui
+    fr = ur * (1.0 + 0.5 * u2r) - 0.5 * ui * u2i
+    fi = ui * (1.0 + 0.5 * u2r) + 0.5 * ur * u2i
+    # w = (i/sqrt(pi)) f  ->  Re w = -fi/sqrt(pi), Im w = fr/sqrt(pi):
+    inv_sqrtpi = 0.5 * TWOOSQRTPI
+    return -fi * inv_sqrtpi, fr * inv_sqrtpi
+
+
+@jax.custom_vjp
+def voigt_k_asym2(x, y):
+    """K(x,y) from the two-term asymptotic Faddeeva pair (_w_asym2);
+    used by the outermost far-wing shells (|z| >= 11, relative error
+    <= 5e-5 — below the shells' own decimation budget).  Gradients via
+    the same Faddeeva-identity custom VJP as the full kernel."""
+    return SQRTLN2PI * _w_asym2(x, y)[0]
+
+
+def _vka_fwd(x, y):
+    wr, wi = _w_asym2(x, y)
+    return SQRTLN2PI * wr, (jnp.asarray(x), jnp.asarray(y), wr, wi)
+
+
+voigt_k_asym2.defvjp(_vka_fwd, _vkh_bwd)
+
+
 def voigt_profile(wn, wn0, alphaL, alphaD):
     """Pointwise area-normalized Voigt profile, reference voigtf (voigt.c:205-227)."""
     y = SQRTLN2 * alphaL / alphaD

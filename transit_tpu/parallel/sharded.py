@@ -277,11 +277,9 @@ def make_sharded_forward(model, mesh: Mesh, external_kmax: bool = False,
                     ex_b = ex_b + fast.fast_extinction_tiles(
                         p, ldev, *args, gidx=tiles[keys["gidx"]],
                         ntiles=ntl, prep=prep,
-                        voigt_fn=(voigt_k_humlicek_r2 if stride
+                        voigt_fn=(fast.FAR_KERNELS[p.wfn_tag] if stride
                                   else voigt_k_humlicek),
-                        stride=max(stride, 1),
-                        taper=(2.0 * stride * dwn if stride > 1
-                               else 0.0), **kw)
+                        stride=max(stride, 1), **kw)
                 rows.append(ex_b)
             ex = jnp.concatenate(rows, axis=0)[inv_perm]    # (nl, span)
         else:
