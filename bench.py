@@ -392,8 +392,152 @@ def gridstep_bench():
 GRIDSTEP_C_SECONDS = 0.139
 
 
+def _ab_cfg_kwargs(wide: bool):
+    """Workload config kwargs for the A/B harness — mirrors main()
+    (standard) / wide_bench() exactly."""
+    if wide:
+        from benchmarks.make_hotjupiter import (make_wide,
+                                                DATA_WIDE as HJ,
+                                                WN_LO, WN_HI)
+        if not os.path.exists(os.path.join(HJ, "hj.tli")):
+            make_wide()
+        return dict(
+            atm=f"{HJ}/hj.atm", linedb=f"{HJ}/hj.tli",
+            csfile=f"{HJ}/cia_H2_H2.dat,{HJ}/cia_H2_He.dat",
+            molfile=f"{HJ}/molecules.dat",
+            wnlow=WN_LO, wnhigh=WN_HI, wndelt=0.01, wnosamp=216,
+            wnfct=1.0, nwidth=20.0, ethreshold=1e-8,
+            solution="eclipse", toomuch=1e30), 2
+    from benchmarks.make_workload import (make, DATA, WN_LO, WN_HI,
+                                          WN_DELT, WNOSAMP)
+    if not os.path.exists(os.path.join(DATA, "bench.tli")):
+        make()
+    return dict(
+        atm=f"{DATA}/bench.atm", linedb=f"{DATA}/bench.tli",
+        csfile=f"{DATA}/bench_cia.dat", molfile=f"{DATA}/molecules.dat",
+        wnlow=WN_LO, wnhigh=WN_HI, wndelt=WN_DELT, wnosamp=WNOSAMP,
+        wnfct=1.0, nwidth=20.0, ethreshold=1e-8,
+        solution="eclipse", toomuch=1e30), 20
+
+
+def _ab_build_window(build_path, cfg_kwargs, runs):
+    """Construct one build's timed window inside a module-swap scope.
+
+    The old build's ``transit_tpu`` is imported from ``build_path`` with
+    the current package temporarily removed from sys.modules; the model
+    is constructed AND its scan step traced + compiled inside the scope
+    (so every import the trace performs resolves against that build),
+    then the module table is restored.  The returned closure only calls
+    the already-compiled executable, so no cross-build imports can
+    happen afterwards.
+    """
+    import importlib
+    import jax
+    import jax.numpy as jnp
+
+    saved = {k: sys.modules.pop(k) for k in list(sys.modules)
+             if k == "transit_tpu" or k.startswith("transit_tpu.")}
+    sys.path.insert(0, build_path)
+    importlib.invalidate_caches()
+    try:
+        from transit_tpu.config import TransitConfig
+        from transit_tpu.model import TransitModel
+        model = TransitModel(TransitConfig(**cfg_kwargs),
+                             dtype=jnp.float32, mode="fast", bands=6)
+        dev = model.device_tree()
+        temps = jnp.asarray(model.atm.temp, dtype=model.dtype)
+        q = jnp.asarray(model.atm.q, dtype=model.dtype)
+        tstack = jnp.stack([temps + np.float32(0.01 * i)
+                            for i in range(runs)])
+
+        @jax.jit
+        def scan_steps(d, ts, qq):
+            def body(c, tt):
+                return c, model.forward(tt, qq, dev=d)
+            _, out = jax.lax.scan(body, 0, ts)
+            return jnp.sum(out)
+
+        out0 = np.asarray(scan_steps(dev, tstack, q))     # trace+compile
+        assert np.all(np.isfinite(out0)), "A/B spectrum not finite"
+        np.asarray(scan_steps(dev, tstack, q))            # stage args
+
+        def window():
+            t0 = time.perf_counter()
+            np.asarray(scan_steps(dev, tstack, q))
+            return (time.perf_counter() - t0) / runs
+        return window
+    finally:
+        sys.path.remove(build_path)
+        for k in [k for k in list(sys.modules)
+                  if k == "transit_tpu" or k.startswith("transit_tpu.")]:
+            del sys.modules[k]
+        sys.modules.update(saved)
+
+
+def ab_bench(ref: str, wide: bool = False, npairs: int = 9):
+    """Paired interleaved A/B against another git ref (VERDICT r4 #7).
+
+    Cross-version claims from same-day medians are confounded by
+    tunnel/backend drift (~+-5% between runs).  This mode times BOTH
+    builds in ONE process, strictly alternating A/B windows, and
+    reports the per-pair relative delta with an exact two-sided sign
+    test — drift affects adjacent windows nearly equally, so the
+    pairing cancels it.
+
+    The old build comes from a detached git worktree; its model is
+    built and compiled inside a module-swap scope (_ab_build_window).
+    """
+    import glob
+    import math
+    import shutil
+    import subprocess
+
+    wt = os.path.join("/tmp", "ab_worktree_" + ref.replace("/", "_"))
+    if not os.path.exists(wt):
+        subprocess.run(["git", "-C", HERE, "worktree", "add", "--detach",
+                        wt, ref], check=True)
+    # The native helper .so is built per checkout; the lazily-imported
+    # lineread/exact paths aren't used by this benchmark, but copy it so
+    # an old build that imports it eagerly still works:
+    for so in glob.glob(os.path.join(HERE, "transit_tpu", "_native*.so")):
+        dst = os.path.join(wt, "transit_tpu", os.path.basename(so))
+        if not os.path.exists(dst):
+            shutil.copy(so, dst)
+
+    cfg_kwargs, runs = _ab_cfg_kwargs(wide)
+    win_old = _ab_build_window(wt, cfg_kwargs, runs)
+    win_new = _ab_build_window(HERE, cfg_kwargs, runs)
+
+    deltas = []
+    for i in range(npairs):
+        da = win_old()
+        db = win_new()
+        deltas.append((db - da) / da)
+    deltas = np.asarray(deltas)
+    wins = int((deltas < 0).sum())          # new build faster
+    n = len(deltas)
+    # Exact two-sided sign test p-value:
+    p = sum(math.comb(n, k) for k in
+            range(min(wins, n - wins) + 1)) / 2.0 ** (n - 1)
+    p = min(p, 1.0)
+    print(json.dumps({
+        "metric": "ab_paired_step_delta_pct",
+        "value": round(100.0 * float(np.median(deltas)), 2),
+        "unit": (f"% step-time change vs {ref} "
+                 f"({'wide' if wide else 'standard'} workload, paired "
+                 f"interleaved windows; negative = HEAD faster)"),
+        "vs_baseline": 0.0,
+        "n_pairs": n, "new_faster_in": wins,
+        "sign_test_p": round(p, 4),
+        "deltas_pct": [round(100.0 * d, 2) for d in deltas.tolist()],
+    }))
+
+
 if __name__ == "__main__":
-    if "--transit" in sys.argv:
+    if "--ab" in sys.argv:
+        i = sys.argv.index("--ab")
+        ab_bench(sys.argv[i + 1], wide="--wide" in sys.argv)
+    elif "--transit" in sys.argv:
         transit_bench()
     elif "--retrieval" in sys.argv:
         i = sys.argv.index("--retrieval")

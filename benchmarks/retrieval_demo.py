@@ -10,7 +10,14 @@ Reports: convergence (max |T/T*-1|) and optimizer throughput in
 gradient steps/s and spectra/s (batch x value_and_grad per step).
 
 Usage: python benchmarks/retrieval_demo.py [--batch N] [--steps N] [--cpu]
-                                           [--hj]
+                                           [--hj] [--hmc]
+
+--hmc runs the gradient-based POSTERIOR SAMPLER instead of Adam point
+estimation: vectorized-chain HMC (transit_tpu/retrieval.py) over an
+8-knot log-temperature parametrization through the differentiable
+forward, reporting acceptance, ESS/s, and credible-interval recovery of
+the injected truth — the capability the reference's gradient-free BART
+loop (transit.c:118-122, ~1 spectrum/sample/core) cannot offer.
 
 --hj swaps in the multi-molecule hot-Jupiter workload (19001 wn x
 100 layers x 200k lines, H2O+CO+CO2+CH4) — the BASELINE workload-3
@@ -81,6 +88,9 @@ def main():
     target = spectrum(dev, t_true)
     norm = jnp.mean(target ** 2)
 
+    if "--hmc" in sys.argv:
+        return hmc_demo(model, dev, t_true, q, target, batch, steps)
+
     def loss_one(dev, logt):
         return jnp.mean((spectrum(dev, jnp.exp(logt)) - target) ** 2) / norm
 
@@ -124,6 +134,63 @@ def main():
     print(f"throughput: {steps / dt:.2f} grad-steps/s = "
           f"{steps * batch / dt:.1f} grad-spectra/s "
           f"({dt / steps * 1e3:.1f} ms/step)")
+
+
+def hmc_demo(model, dev, t_true, q, target, nchain, n_samples):
+    import jax
+    import jax.numpy as jnp
+    from transit_tpu.retrieval import (hmc_sample, ess, gaussian_logprob,
+                                       knot_profile)
+
+    nchain = max(nchain, 64)
+    nl = model.atm.nlayers
+    nk = 8
+
+    def fwd(z):
+        return model.forward(knot_profile(jnp.exp(z), nl), q, dev=dev)
+
+    z_true = jnp.log(jnp.full(
+        (nk,), jnp.asarray(np.mean(np.asarray(t_true)), model.dtype)))
+    obs = fwd(z_true)
+    sigma = 1e-3 * float(np.abs(np.asarray(obs)).mean())
+    logprob = gaussian_logprob(fwd, obs, sigma,
+                               prior_mean=float(z_true[0]),
+                               prior_sigma=0.5)
+
+    key = jax.random.PRNGKey(7)
+    kx, ks = jax.random.split(key)
+    x0 = z_true[None, :] + 0.01 * jax.random.normal(
+        kx, (nchain, nk), model.dtype)
+
+    sample = jax.jit(lambda x0_, k_, n_: hmc_sample(
+        logprob, x0_, k_, step_size=1.5e-4, n_leapfrog=8, n_samples=n_),
+        static_argnums=(2,))
+    # Compile + warm (short run):
+    s_, a_, _ = sample(x0, ks, 2)
+    np.asarray(a_)
+    t0 = time.perf_counter()
+    samples, accept, _ = sample(x0, ks, n_samples)
+    samples = np.asarray(samples)
+    dt = time.perf_counter() - t0
+
+    acc = float(np.asarray(accept, dtype=np.float64).mean())
+    warm = max(n_samples // 5, 1)
+    e = ess(samples[warm:])
+    zt = np.asarray(z_true)
+    flat = samples[warm:].reshape(-1, nk)
+    mean, std = flat.mean(axis=0), flat.std(axis=0)
+    cover = np.abs(mean - zt) < 3.0 * std + 1e-4
+    grad_evals = n_samples * 8 * nchain          # leapfrog spectra+grads
+    print(f"hmc: chains={nchain} samples={n_samples} knots={nk} "
+          f"accept={acc:.2f}")
+    print(f"posterior recovery: max |mean-z*| {np.abs(mean-zt).max():.2e}"
+          f" (log-T), 3-sigma coverage {cover.sum()}/{nk}")
+    print(f"throughput: {samples.shape[0] * nchain / dt:.1f} samples/s, "
+          f"min ESS {e.min():.0f} -> {e.min() / dt:.1f} ESS/s "
+          f"({grad_evals / dt:.0f} grad-spectra/s inside leapfrog)")
+    print(f"wall {dt:.1f}s; reference frame: BART-style gradient-free "
+          f"MCMC evaluates ~1.25 spectra/s/core with O(ndim) "
+          f"random-walk mixing")
 
 
 if __name__ == "__main__":

@@ -120,3 +120,27 @@ def test_sharded_step_reports_eval_stats():
     # The assignment is a permutation of all blocks:
     assert sorted(st["blocks"].reshape(-1).tolist()) == \
         list(range(st["block_costs"].shape[0]))
+
+
+def test_sharded_decimated_shells_match_single():
+    """The sharded step must reproduce the single-device banded result
+    on a fine grid where the far shells DECIMATE (strides >= 4,
+    bins-on-lanes layouts, per-line halo weights, asymptotic kernel) —
+    the production wide-workload configuration."""
+    import jax.numpy as jnp
+    from tests.test_fast_and_forward import _fine_grid_config
+    from transit_tpu.model import TransitModel
+    from transit_tpu.parallel.sharded import make_sharded_forward
+
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(1, 4),
+                ("batch", "wn"))
+    model = TransitModel(_fine_grid_config(), mode="fast", bands=6)
+    strides = [s for far in (model.bplan.far_plans or []) if far
+               for (_l, _r, s) in far]
+    assert strides and max(strides) >= 4
+    step = make_sharded_forward(model, mesh)
+    t = jnp.asarray(model.atm.temp, model.dtype)
+    q = jnp.asarray(model.atm.q, model.dtype)
+    ref = np.asarray(jax.jit(model.forward)(t, q))
+    got = np.asarray(step(t, q))
+    np.testing.assert_allclose(got, ref, rtol=2e-6, atol=0)

@@ -908,7 +908,8 @@ def make_banded_plans(wavn, isoid, elow, gf, wn_i: float, dwn: float,
     tw_scale: tile width multiplier over the halo-sized default; None
     (default) picks per band: tw ~ halo for small halos (the TPU sweep
     benchmarks/sweep_tw.py optimum when every bucketed line is near),
-    but tw ~ halo/4 once the halo exceeds 128 bins — there the far
+    but tw ~ halo/4 once the halo clears the innermost
+    distance-shell boundary — there the far
     distance shells carry the wings, the near window only needs to
     cover the region-II margin, and a narrow tile cuts the dominant
     per-line near cost ~ (tw + 2*margin) (measured on the 950k-bin
@@ -951,8 +952,14 @@ def make_banded_plans(wavn, isoid, elow, gf, wn_i: float, dwn: float,
     for (a, b) in slices:
         sel = perm[a:b]
         halo_est = nwidth * float(w[sel].max()) / dwn
+        # Auto tile width: once the halo clears the innermost shell
+        # boundary (~2*FAR_FACTOR bins) the distance shells carry the
+        # wings and a narrow tile cuts the dominant per-line
+        # near-window cost (measured on the 950k-bin wide workload);
+        # below that everything is near and tw ~ halo is the optimum:
         scale = (tw_scale if tw_scale
-                 else (0.25 if halo_est >= 128.0 else 1.0))
+                 else (0.25 if halo_est >= 2.0 * FAR_FACTOR + 16.0
+                       else 1.0))
         # Snap to a power of two so every band's tiles align on a common
         # block size (the sharded path splits the wavenumber axis at
         # max-tw boundaries):
