@@ -153,8 +153,9 @@ def retrieval_bench(batch=64):
     q0 = jnp.asarray(model.atm.q, dtype=model.dtype)
     temps = jnp.stack([t0v + 0.5 * i for i in range(batch)])
     qs = jnp.stack([q0] * batch)
-    batched = jax.vmap(model.forward, in_axes=(0, 0, None))
-    dt, dt_iqr, nwin = time_steps(batched, temps, qs, runs=3,
+    # forward_batch folds the batch into the extinction kernel's layer
+    # axis (one unbatched kernel invocation) instead of vmapping:
+    dt, dt_iqr, nwin = time_steps(model.forward_batch, temps, qs, runs=3,
                                   dev=model.device_tree())
     value = batch / dt
     emit("retrieval_spectra_per_s", round(value, 2),

@@ -91,8 +91,15 @@ def main():
     if "--hmc" in sys.argv:
         return hmc_demo(model, dev, t_true, q, target, batch, steps)
 
-    def loss_one(dev, logt):
-        return jnp.mean((spectrum(dev, jnp.exp(logt)) - target) ** 2) / norm
+    qs = jnp.broadcast_to(q[None], (batch,) + q.shape)
+
+    def loss_batch(dev, logt):
+        """Per-chain losses (batch,).  forward_batch folds the batch
+        into the extinction kernel's layer axis — the hot path and its
+        analytic VJP run unbatched (no vmap batching rules); summing
+        the independent chain losses yields per-chain gradients."""
+        spec = model.forward_batch(jnp.exp(logt), qs, dev=dev)
+        return jnp.mean((spec - target[None, :]) ** 2, axis=1) / norm
 
     # A batch of independent chains from different perturbed starts
     # (the batched-sampler shape): one device program per Adam step
@@ -109,9 +116,9 @@ def main():
     def chain(dev, x0, nsteps):
         def update(carry, _):
             x, state = carry
-            vals, grads = jax.vmap(
-                jax.value_and_grad(loss_one, argnums=1),
-                in_axes=(None, 0))(dev, x)
+            (_, vals), grads = jax.value_and_grad(
+                lambda lt: (lambda l: (jnp.sum(l), l))(
+                    loss_batch(dev, lt)), has_aux=True)(x)
             ups, new_state = opt.update(grads, state)
             return (optax.apply_updates(x, ups), new_state), jnp.mean(vals)
         state = opt.init(x0)
@@ -152,25 +159,55 @@ def hmc_demo(model, dev, t_true, q, target, nchain, n_samples):
     z_true = jnp.log(jnp.full(
         (nk,), jnp.asarray(np.mean(np.asarray(t_true)), model.dtype)))
     obs = fwd(z_true)
-    sigma = 1e-3 * float(np.abs(np.asarray(obs)).mean())
+    # ~1% photometric noise: a realistic likelihood width whose
+    # posterior scale sets the leapfrog step below:
+    sigma = 1e-2 * float(np.abs(np.asarray(obs)).mean())
     logprob = gaussian_logprob(fwd, obs, sigma,
                                prior_mean=float(z_true[0]),
                                prior_sigma=0.5)
+
+    # Batched value-and-grad through forward_batch: the extinction
+    # kernel sees the chains as extra layers (no vmap in the hot path):
+    qs = jnp.broadcast_to(q[None], (nchain,) + q.shape)
+    pm = jnp.asarray(float(z_true[0]), model.dtype)
+
+    def vg_fn(X):
+        def f(Xf):
+            T = jax.vmap(lambda z: knot_profile(jnp.exp(z), nl))(Xf)
+            spec = model.forward_batch(T, qs, dev=dev)
+            r = (spec - obs[None, :]) / sigma
+            pr = (Xf - pm) / 0.5
+            lp = -0.5 * (jnp.sum(r * r, axis=1) + jnp.sum(pr * pr,
+                                                          axis=1))
+            return jnp.sum(lp), lp
+        (_, lp), g = jax.value_and_grad(f, has_aux=True)(X)
+        return lp, g
 
     key = jax.random.PRNGKey(7)
     kx, ks = jax.random.split(key)
     x0 = z_true[None, :] + 0.01 * jax.random.normal(
         kx, (nchain, nk), model.dtype)
 
-    sample = jax.jit(lambda x0_, k_, n_: hmc_sample(
-        logprob, x0_, k_, step_size=1.5e-4, n_leapfrog=8, n_samples=n_),
-        static_argnums=(2,))
-    # Compile + warm (short run):
-    s_, a_, _ = sample(x0, ks, 2)
+    # Sampling runs in fixed-size chunks (one modest compiled program;
+    # a single n_samples-long scan of leapfrog grads exceeds this
+    # environment's remote-compile request limits), chaining the final
+    # state into the next chunk:
+    chunk = 10
+    sample = jax.jit(lambda x0_, k_: hmc_sample(
+        logprob, x0_, k_, step_size=1e-4, n_leapfrog=8,
+        n_samples=chunk, vg_fn=vg_fn))
+    s_, a_, st_ = sample(x0, ks)              # compile + warm
     np.asarray(a_)
     t0 = time.perf_counter()
-    samples, accept, _ = sample(x0, ks, n_samples)
-    samples = np.asarray(samples)
+    chunks, accepts = [], []
+    x_cur = x0
+    for i in range(-(-n_samples // chunk)):
+        ks, kc = jax.random.split(ks)
+        s_c, a_c, (x_cur, _) = sample(x_cur, kc)
+        chunks.append(np.asarray(s_c))
+        accepts.append(np.asarray(a_c))
+    samples = np.concatenate(chunks)[:n_samples]
+    accept = np.concatenate(accepts)[:n_samples]
     dt = time.perf_counter() - t0
 
     acc = float(np.asarray(accept, dtype=np.float64).mean())

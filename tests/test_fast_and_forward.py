@@ -406,3 +406,31 @@ def test_analytic_block_vjp_matches_autodiff():
         a, b = np.asarray(a), np.asarray(b)
         np.testing.assert_allclose(a, b, rtol=1e-5,
                                    atol=1e-12 * np.abs(b).max())
+
+
+def test_forward_batch_matches_vmap():
+    """forward_batch folds the batch into the extinction kernel's layer
+    axis (one unbatched kernel invocation; the cheap assembly is
+    vmapped) and must reproduce jax.vmap(forward) exactly, including
+    gradients."""
+    cfg = make_config("eclipse", 1e30)
+    m = TransitModel(cfg, mode="fast", bands=6)
+    t0 = jnp.asarray(m.atm.temp, m.dtype)
+    q0 = jnp.asarray(m.atm.q, m.dtype)
+    tb = jnp.stack([t0, t0 * 1.01, t0 * 0.98])
+    qb = jnp.stack([q0, q0 * 1.02, q0])
+    sb = np.asarray(m.forward_batch(tb, qb))
+    sv = np.asarray(jax.vmap(m.forward, in_axes=(0, 0))(tb, qb))
+    np.testing.assert_allclose(sb, sv, rtol=1e-10)
+    g1 = jax.grad(lambda t: jnp.sum(m.forward_batch(t, qb)))(tb)
+    g2 = jax.grad(lambda t: jnp.sum(
+        jax.vmap(m.forward, in_axes=(0, 0))(t, qb)))(tb)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-6, atol=1e-30)
+    # transmission geometry + hydrostatic radii (vmapped geometry):
+    cfg2 = make_config("transit", 1e30)
+    cfg2.gsurf, cfg2.refpress, cfg2.refradius = 980.0, 1.0, 92000.0
+    m2 = TransitModel(cfg2, mode="fast", bands=4)
+    sb2 = np.asarray(m2.forward_batch(tb, qb))
+    sv2 = np.asarray(jax.vmap(m2.forward, in_axes=(0, 0))(tb, qb))
+    np.testing.assert_allclose(sb2, sv2, rtol=1e-10)

@@ -446,13 +446,22 @@ class TransitModel:
                   full_result: bool, dev=None,
                   use_saveext: bool = False):
         """Shared spectrum core; all array args may be traced."""
+        temps_cgs = temps_raw * self.atm.tfct
+        Z = self.partition_jnp(temps_raw)
+        ex = self.line_extinction(temps_cgs, densities, Z, dev=dev,
+                                  use_saveext=use_saveext)   # (nl, nwn)
+        return self._assemble(temps_raw, q, densities, radii, W, Wmod,
+                              ex, full_result)
+
+    def _assemble(self, temps_raw, q, densities, radii, W, Wmod,
+                  ex, full_result: bool):
+        """Everything downstream of the line extinction: scattering,
+        clouds, CIA, optical depth, geometry-specific spectrum.  Cheap
+        relative to extinction; vmapped per batch element by
+        forward_batch."""
         atm = self.atm
         nl = atm.nlayers
         temps_cgs = temps_raw * atm.tfct
-        Z = self.partition_jnp(temps_raw)
-
-        ex = self.line_extinction(temps_cgs, densities, Z, dev=dev,
-                                  use_saveext=use_saveext)   # (nl, nwn)
 
         wns_cgs = jnp.asarray(self.wns.v * self.wns.fct, dtype=self.dtype)
         # The reference feeds computeextscat the *raw* (file-unit) pressure
@@ -520,6 +529,115 @@ class TransitModel:
                                   scatt=jnp.broadcast_to(e_s, er.shape),
                                   cloud=jnp.broadcast_to(e_c, er.shape),
                                   total=er)
+
+    # ------------------------------------------------------------------
+    def _batched_bplan(self, B: int):
+        """Batched VIEW of the banded plan for forward_batch: band i of
+        the view covers every batch member's copy of band i's layers
+        (pseudo-layer index b*nl + layer), sharing the tile plans and
+        device tensors unchanged."""
+        bp = self.bplan
+        nl = self.atm.nlayers
+        cache = self.__dict__.setdefault("_bplan_batch_cache", {})
+        if B not in cache:
+            perm_parts, slices, off = [], [], 0
+            for (a, b) in bp.slices:
+                band = np.concatenate([bp.perm[a:b] + k * nl
+                                       for k in range(B)])
+                perm_parts.append(band)
+                slices.append((off, off + band.shape[0]))
+                off += band.shape[0]
+            perm = np.concatenate(perm_parts)
+            inv = np.empty_like(perm)
+            inv[perm] = np.arange(perm.shape[0])
+            cache[B] = dataclasses.replace(bp, perm=perm, inv_perm=inv,
+                                           slices=slices)
+        return cache[B]
+
+    def forward_batch(self, temps_raw, q, dev=None):
+        """Batched retrieval step: (B, nl) temperatures x (B, nmol, nl)
+        abundances -> (B, nwn) spectra.
+
+        Unlike ``jax.vmap(forward)``, the line extinction treats the
+        batch as EXTRA LAYERS: one kernel invocation over B*nl
+        pseudo-layers through the same tile plans (the kernel is
+        independent per layer), so the hot path and its analytic VJP
+        run exactly as in the single-profile case — no vmap batching
+        rules, and the tile-block budget adapts to the bigger layer
+        axis automatically.  Only the cheap spectrum assembly
+        (scattering, clouds, CIA, tau, geometry) is vmapped.
+
+        Requires mode="fast"; the raddelt resampling path is not
+        supported (use jax.vmap(model.forward) there).
+        """
+        if self.mode != "fast" or self._atm0 is not None:
+            raise ValueError("forward_batch requires mode='fast' and "
+                             "raddelt -1; use jax.vmap(model.forward)")
+        atm = self.atm
+        temps_raw = jnp.asarray(temps_raw, self.dtype)     # (B, nl)
+        q = jnp.asarray(q, self.dtype)                     # (B, nm, nl)
+        B, nl = temps_raw.shape
+        molm = jnp.asarray(self.mol.mass, dtype=self.dtype)
+        mol_radius = jnp.asarray(self.mol.radius, dtype=self.dtype)
+
+        if atm.by_mass:
+            mm = 1.0 / jnp.sum(q / molm[None, :, None], axis=1)
+        else:
+            mm = jnp.sum(q * molm[None, :, None], axis=1)
+        press_cgs = jnp.asarray(atm.press * atm.pfct, dtype=self.dtype)
+        rho = (AMU * q * press_cgs[None, None, :] / KB /
+               (temps_raw * atm.tfct)[:, None, :])
+        densities = rho * (mm[:, None, :] if atm.by_mass
+                           else molm[None, :, None])       # (B, nm, nl)
+
+        temps_cgs = temps_raw * atm.tfct
+        tflat = temps_cgs.reshape(B * nl)
+        dflat = jnp.moveaxis(densities, 1, 0).reshape(molm.shape[0],
+                                                      B * nl)
+        Zflat = self.partition_jnp(temps_raw.reshape(B * nl))
+        kw = dict(wn_i=self.wns.i, dwn=self.wns.d,
+                  ethresh=self.cfg.ethreshold, nwidth=self.cfg.nwidth)
+        if self.bands > 0 and getattr(self, "bplan", None) is not None:
+            ex = fast.banded_extinction(
+                self._batched_bplan(B),
+                dev if dev is not None else self.bdev,
+                tflat, dflat, Zflat, molm, mol_radius, **kw)
+        elif self.fplan is not None:
+            ex = fast.fast_extinction(
+                self.fplan, dev if dev is not None else self.fdev,
+                tflat, dflat, Zflat, molm, mol_radius, **kw)
+        else:
+            ex = jnp.zeros((B * nl, self.wns.n), dtype=self.dtype)
+        ex = ex.reshape(B, nl, self.wns.n)
+
+        cfg = self.cfg
+        if cfg.gsurf and cfg.refpress and cfg.refradius:
+            def one(t_r, qq, dd, e):
+                radii = rt_geom.radpress_jnp(
+                    cfg.gsurf, cfg.refpress, cfg.refradius, t_r,
+                    (1.0 / jnp.sum(qq / molm[:, None], axis=0)
+                     if atm.by_mass
+                     else jnp.sum(qq * molm[:, None], axis=0)),
+                    atm.press, self.rfct)
+                if self.solution == "eclipse":
+                    W = rt_geom.eclipse_weights_jnp(radii)
+                    Wmod = None
+                else:
+                    W = rt_geom.transit_weights_jnp(radii)
+                    Wmod = modulation_weight_table_jnp(radii * self.rfct)
+                return self._assemble(t_r, qq, dd, radii, W, Wmod, e,
+                                      full_result=False)
+        else:
+            radii = jnp.asarray(self.rads_v, dtype=self.dtype)
+            W = jnp.asarray(self.W, dtype=self.dtype)
+            Wmod = (jnp.asarray(self.Wmod, dtype=self.dtype)
+                    if self.Wmod is not None else None)
+
+            def one(t_r, qq, dd, e):
+                return self._assemble(t_r, qq, dd, radii, W, Wmod, e,
+                                      full_result=False)
+
+        return jax.vmap(one)(temps_raw, q, densities, ex)
 
     # ------------------------------------------------------------------
     def run_transit(self, flat_input):

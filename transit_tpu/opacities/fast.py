@@ -591,8 +591,6 @@ def _block_val_bwd(spec, res, g):
     clamp = jnp.asarray(1e8, dtype)
     x = jnp.minimum(x_raw, clamp)
     wr, wi = wfn(x, xpand(y))
-    K = C * wr
-    P = K * xpand(inv_aD)
     if lw is not None:
         u = jnp.asarray(1.0, dtype)       # line weight lives inside k
     else:
@@ -600,21 +598,25 @@ def _block_val_bwd(spec, res, g):
 
     gb = g[:, :, None, :] if bol else g[:, :, :, None]  # match elem rank
     yE = xpand(y) + jnp.zeros_like(x)        # broadcast for the identity
-    # Faddeeva identity: dK/dx = -2C (x wr - y wi);
-    #                    dK/dy = 2C (x wi + y wr) - 2C/sqrt(pi):
-    gK = gb * u * xpand(k) * xpand(inv_aD)   # d val / d K per element
-    gx = gK * (-2.0 * C) * (x * wr - yE * wi)
-    gyE = gK * (2.0 * C * (x * wi + yE * wr) - C * TWOOSQRTPI)
-
-    # inv_aD cotangent: through P = K/aD, x = sqrt(ln2) d/aD,
-    # y = sqrt(ln2) aL/aD (x term zero where the overflow clamp hit):
-    g_invaD_elem = (gb * u * xpand(k) * K +
-                    gx * SQRTLN2 * dist_b * (x_raw < clamp) +
-                    gyE * SQRTLN2 * xpand(aL))
+    # Consolidated single-pass backward: with B = gbar*u and the
+    # Faddeeva identity dK/dx = -2C (x wr - y wi),
+    # dK/dy = 2C (x wi + y wr) - 2C/sqrt(pi), every cotangent reduces
+    # to three sums over the bin axis of short (wr, wi, x, y)
+    # expressions — one streamed element pass, no element-sized
+    # temporaries:
+    #   gk      = C inv_aD   * sum B wr
+    #   g_invaD = C          * sum B k (wr + x Kx' [unclamped] + y Ky')
+    #   gaL     = C sqrt(ln2) inv_aD^2 * sum B k Ky'
+    # where Kx' = dKdx/C, Ky' = dKdy/C; the x term is dropped where the
+    # overflow clamp froze x (dx/d inv_aD = 0 there):
+    B = gb * u
+    Bk = B * xpand(k)
+    kxp = -2.0 * (x * wr - yE * wi)
+    kyp = 2.0 * (x * wi + yE * wr) - TWOOSQRTPI
     red = lambda t: jnp.sum(t, axis=ax_ne)
-    gk = red(gb * u * P)                                  # (tb, nl, lc)
-    g_invaD = red(g_invaD_elem)
-    gaL_l = red(gyE) * SQRTLN2 * inv_aD
+    gk = (C * inv_aD) * red(B * wr)                       # (tb, nl, lc)
+    g_invaD = C * red(Bk * (wr + x * kxp * (x_raw < clamp) + yE * kyp))
+    gaL_l = (C * SQRTLN2) * inv_aD * inv_aD * red(Bk * kyp)
     gaD = -g_invaD * inv_aD * inv_aD
     gaDf = gaD * wv[:, None, :]
 
@@ -692,10 +694,16 @@ def _run_tiles(plan: FastPlan, d, dtiles, gidx, lmax: int, prep,
     nt = dtiles["wavn"].shape[0]
 
     # Line-chunk size: largest multiple of the layout granule <=
-    # line_chunk dividing lmax (lmax is always a granule multiple):
+    # line_chunk dividing lmax (lmax is always a granule multiple).
+    # When the layer axis is huge (forward_batch folds a retrieval
+    # batch into it), the tile-block budget can no longer throttle via
+    # tb (floor 1), so cap the chunk too — keeps one block's working
+    # set near the budget instead of B times it:
     granule = 128 if plan.lanes == "lines" else 8
-    lc = lmax
-    for cand in range(min(line_chunk, lmax), 0, -granule):
+    budget0 = int(eval_budget) if eval_budget else EVAL_BUDGET
+    lc_cap = max(granule, budget0 // max(1, int(nlayer) * n_eval))
+    lc = granule
+    for cand in range(min(line_chunk, lmax, lc_cap), 0, -granule):
         if lmax % cand == 0:
             lc = cand
             break

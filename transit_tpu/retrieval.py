@@ -71,11 +71,15 @@ def hmc_sample(logprob, x0, key, step_size, n_leapfrog: int,
         dh = (lpn - 0.5 * jnp.sum(pn * pn, axis=1)) - \
              (lp - 0.5 * jnp.sum(p0 * p0, axis=1))
         u = jax.random.uniform(ka, (x.shape[0],), x.dtype)
+        # NaN-safe rejection: a divergent leapfrog yields dh = NaN,
+        # which compares False (reject).  Selection must be jnp.where,
+        # NOT an arithmetic blend — 0 * NaN would poison the kept
+        # state of every rejected chain:
         acc = (jnp.log(u) < dh)
-        accf = acc.astype(x.dtype)[:, None]
-        x = accf * xn + (1.0 - accf) * x
+        accb = acc[:, None]
+        x = jnp.where(accb, xn, x)
         lp = jnp.where(acc, lpn, lp)
-        g = accf * gn + (1.0 - accf) * g
+        g = jnp.where(accb, gn, g)
         return (x, lp, g), (x, acc)
 
     lp0, g0 = vg_fn(x0)
