@@ -960,13 +960,18 @@ def make_banded_plans(wavn, isoid, elow, gf, wn_i: float, dwn: float,
     for (a, b) in slices:
         sel = perm[a:b]
         halo_est = nwidth * float(w[sel].max()) / dwn
-        # Auto tile width: once the halo clears the innermost shell
-        # boundary (~2*FAR_FACTOR bins) the distance shells carry the
-        # wings and a narrow tile cuts the dominant per-line
-        # near-window cost (measured on the 950k-bin wide workload);
-        # below that everything is near and tw ~ halo is the optimum:
+        # Auto tile width: a narrow (halo/4) tile pays off when the
+        # distance shells carry the wings AND the region-II margin is
+        # itself many bins wide (the near window then shrinks with tw;
+        # measured +20% on the 950k-bin wide workload).  On coarse
+        # grids the margin is sub-bin and the stride-1 shell dominates
+        # regardless of tw — there the sweep optimum tw ~ halo stands
+        # (narrow tiles measured -9% on the standard workload):
+        margin_est = (R2_MARGIN * float(aDf_layers[sel].max()) *
+                      wn_max / dwn)
         scale = (tw_scale if tw_scale
-                 else (0.25 if halo_est >= 2.0 * FAR_FACTOR + 16.0
+                 else (0.25 if (halo_est >= 2.0 * FAR_FACTOR + 16.0
+                                and margin_est >= 8.0)
                        else 1.0))
         # Snap to a power of two so every band's tiles align on a common
         # block size (the sharded path splits the wavenumber axis at
