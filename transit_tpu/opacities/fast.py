@@ -67,6 +67,14 @@ FAR_FACTOR = 24
 # <= 7.5e-5 at x = 15, under the shells' decimation budget):
 X_ASYM = 15.0
 
+# Relative per-element kernel costs for the planner's padded-eval cost
+# model (make_banded_plans absorption decision): the region-II-only
+# rational is ~4x less VPU work per element than the full w4, but the
+# shared per-element overhead (strength/width/mask chains in
+# _block_lines) narrows the whole-element gap:
+W4_COST = 1.0
+R2_COST = 0.45
+
 
 @dataclasses.dataclass
 class FastPlan:
@@ -76,7 +84,7 @@ class FastPlan:
     elow: np.ndarray
     gf: np.ndarray
     tile_start: np.ndarray  # (ntiles,) first line index per tile
-    tile_count: np.ndarray  # (ntiles,) lines per tile
+    tile_count: np.ndarray  # (ntiles,) lines per tile (BOTH ranges)
     lmax: int               # max lines per tile (padded length)
     tw: int                 # tile width in coarse bins
     ntiles: int
@@ -101,6 +109,14 @@ class FastPlan:
     # bounds (aL_max, aDf_max) from which the kernel reconstructs each
     # tile's halo; None = per-layer hard wing cutoff (near/s1 shells):
     line_weight: tuple = None
+    # Optional SECOND per-tile line range (far shells bucket the ranges
+    # left AND right of the tile's near window into ONE padded tensor —
+    # two ~40-line sides each padding to the 128-lane granule would
+    # otherwise double the dominant padding floor; see make_banded_plans).
+    # tile_count stays the combined count (consumers: tile classes, the
+    # sharded path's LPT block costs); tile_count1 is range 1's length:
+    tile_start2: np.ndarray = None   # (ntiles,) or None
+    tile_count1: np.ndarray = None   # (ntiles,) or None
 
 
 # Executor-side kernel lookup for far-shell plans:
@@ -184,10 +200,13 @@ def _tile_classes(count, lmax: int, classes: bool, min_level: int = 128):
 
 def _subplan(wavn, isoid, elow, gf, start, end, tw, ntiles, n_coarse,
              halo_rep, classes, lanes: str = "lines",
-             wfn_tag: str = "w4", line_weight: tuple = None):
+             wfn_tag: str = "w4", line_weight: tuple = None,
+             start2=None, end2=None):
     """FastPlan over pre-sorted line arrays with explicit per-tile line
-    ranges [start, end)."""
-    count = end - start
+    ranges [start, end) (+ an optional second range [start2, end2) —
+    the two sides of a far shell share one padded tensor)."""
+    count1 = end - start
+    count = count1 if start2 is None else count1 + (end2 - start2)
     lmax = int(count.max()) if count.size else 0
     lmax = max(lmax, 1)
     # Round up to the line axis' register granule (lanes or sublanes):
@@ -201,15 +220,24 @@ def _subplan(wavn, isoid, elow, gf, start, end, tw, ntiles, n_coarse,
                     lmax=lmax, tw=tw, ntiles=ntiles, n_coarse=n_coarse,
                     halo_bins=halo_rep, class_tiles=class_tiles,
                     class_lmax=class_lmax, lanes=lanes, wfn_tag=wfn_tag,
-                    line_weight=line_weight)
+                    line_weight=line_weight,
+                    tile_start2=(None if start2 is None
+                                 else start2.astype(np.int32)),
+                    tile_count1=(None if start2 is None
+                                 else count1.astype(np.int32)))
 
 
 def _tile_tensors(plan: FastPlan, tiles, lmax, dtype):
     """Padded (len(tiles), lmax) line tensors for the given tile set."""
     nl = plan.wavn.shape[0]
-    idx = (plan.tile_start[tiles][:, None] +
-           np.arange(lmax)[None, :])
-    mask = np.arange(lmax)[None, :] < plan.tile_count[tiles][:, None]
+    j = np.arange(lmax)[None, :]
+    if plan.tile_start2 is None:
+        idx = plan.tile_start[tiles][:, None] + j
+    else:
+        c1 = plan.tile_count1[tiles][:, None]
+        idx = np.where(j < c1, plan.tile_start[tiles][:, None] + j,
+                       plan.tile_start2[tiles][:, None] + (j - c1))
+    mask = j < plan.tile_count[tiles][:, None]
     idx = np.clip(idx, 0, max(nl - 1, 0))
     return {
         "wavn": jnp.asarray(plan.wavn[idx], dtype=dtype),
@@ -1002,14 +1030,6 @@ def make_banded_plans(wavn, isoid, elow, gf, wn_i: float, dwn: float,
         halo_wn = halo * dwn                              # (ntiles,)
         tile_lo = wn_i + k * tw * dwn
         tile_hi = wn_i + (k + 1) * tw * dwn
-        mk = lambda s, e: _subplan(wavn_s, isoid_s, elow_s, gf_s, s, e,
-                                   tw=tw, ntiles=ntiles, n_coarse=n_coarse,
-                                   halo_rep=float(halo.max()),
-                                   classes=classes)
-        plans.append(mk(np.searchsorted(wavn_s, tile_lo - margin,
-                                        side="left"),
-                        np.searchsorted(wavn_s, tile_hi + margin,
-                                        side="right")))
 
         # Distance-shell boundaries (wn units, per tile).  Shell stride s
         # spans [bound(s), bound(2s)); the innermost (stride-1) shell
@@ -1029,15 +1049,78 @@ def make_banded_plans(wavn, isoid, elow, gf, wn_i: float, dwn: float,
             while s <= smax and bool(np.any(bound(s) < halo_wn)):
                 strides.append(s)
                 s *= 2
-        def mk_far(s0, e0, ne, lo_b, stride_s):
-            """Far-shell subplan with a layout choice: sparse shells
-            (tens of lines/tile) pad 3-8x when lines ride the 128-lane
+
+        def side_ranges(lo_b, hi_b):
+            """Per-tile line ranges of one shell's left and right side."""
+            sL0 = np.searchsorted(wavn_s, tile_lo - hi_b, side="left")
+            sL1 = np.searchsorted(wavn_s, tile_lo - lo_b, side="left")
+            sR0 = np.searchsorted(wavn_s, tile_hi + lo_b, side="right")
+            sR1 = np.searchsorted(wavn_s, tile_hi + hi_b, side="right")
+            return sL0, sL1, sR0, sR1
+
+        def est_cost(cnt, ne, weight, lanes_choice=None):
+            """Padded-eval cost of a plan with per-tile line counts
+            ``cnt`` over ``ne`` evaluation bins, mirroring mk_far's
+            layout rule; ``weight`` is the kernel's relative per-element
+            cost (W4_COST/R2_COST)."""
+            mean_c = float(cnt.sum()) / max(len(cnt), 1)
+            if lanes_choice is None:
+                waste_lines = max(128.0, mean_c) / max(mean_c, 1.0)
+                lane_pad = 128.0 * (-(-ne // 128)) / max(ne, 1)
+                waste_bins = lane_pad * max(8.0, mean_c) / max(mean_c, 1.0)
+                lanes_choice = ("bins" if far_decimate and
+                                waste_bins < waste_lines else "lines")
+            if lanes_choice == "bins":
+                pl = np.maximum(8, -(-cnt // 8) * 8)
+                return weight * float(pl.sum()) * 128 * (-(-ne // 128))
+            pl = np.maximum(128, -(-cnt // 128) * 128)
+            return weight * float(pl.sum()) * ne
+
+        # Near window: by default [tile - margin, tile + margin].  When
+        # decimated shells exist, consider ABSORBING the stride-1 shell
+        # into the near window: at wide-workload line densities the
+        # near window and each stride-1 side hold ~40-60 lines/tile —
+        # all below the 128-lane padding granule — so three separate
+        # plans pay the ~128-lines-per-point*layer padding floor three
+        # times, while one merged w4 window often still fits a single
+        # granule (the full w4 kernel is bit-identical to the region-II
+        # rational on region-II inputs, so the merge is exact).  Decided
+        # per band by the padded-eval cost model with the kernels'
+        # relative weights; together with the two-range side merge below
+        # this measured -13.3% step time (paired A/B, 9/9) on the
+        # 950k-bin wide workload:
+        near_b = margin
+        absorb = False
+        if len(strides) > 1:
+            b2 = np.minimum(bound(strides[1]), halo_wn)
+            aL0, aL1, aR0, aR1 = side_ranges(margin, b2)
+            cnt_s1 = (aL1 - aL0) + (aR1 - aR0)
+            n0 = np.searchsorted(wavn_s, tile_lo - margin, side="left")
+            n1 = np.searchsorted(wavn_s, tile_hi + margin, side="right")
+            merged = est_cost((n1 - n0) + cnt_s1, tw, W4_COST, "lines")
+            sep = (est_cost(n1 - n0, tw, W4_COST, "lines") +
+                   est_cost(cnt_s1, tw, R2_COST))
+            absorb = bool(merged < sep)
+            if absorb:
+                near_b = b2
+        plans.append(_subplan(
+            wavn_s, isoid_s, elow_s, gf_s,
+            np.searchsorted(wavn_s, tile_lo - near_b, side="left"),
+            np.searchsorted(wavn_s, tile_hi + near_b, side="right"),
+            tw=tw, ntiles=ntiles, n_coarse=n_coarse,
+            halo_rep=float(halo.max()), classes=classes))
+
+        def mk_far(sL0, sL1, sR0, sR1, ne, lo_b, stride_s):
+            """Far-shell subplan: BOTH sides of the tile's near window
+            share one two-range padded tensor (each ~40-line side alone
+            would pad to the full line-axis granule), with a layout
+            choice: sparse shells pad 3-8x when lines ride the 128-lane
             axis; putting BINS on lanes and lines on the 8-wide sublane
             axis cuts the padding to the sublane granule.  Pick the
             layout with the smaller estimated register-padding waste.
             Only active with far_decimate (the exactness fallback keeps
             the reference layout and summation order)."""
-            cnt = e0 - s0
+            cnt = (sL1 - sL0) + (sR1 - sR0)
             mean_c = float(cnt.sum()) / max(len(cnt), 1)
             waste_lines = max(128.0, mean_c) / max(mean_c, 1.0)
             lane_pad = 128.0 * (-(-ne // 128)) / ne
@@ -1058,14 +1141,17 @@ def make_banded_plans(wavn, isoid, elow, gf, wn_i: float, dwn: float,
             # Decimated shells use the smooth per-line halo weight in
             # place of the per-layer wing cutoff (_line_halo_weight):
             lwt = ((aL_max, aDf_max) if stride_s > 1 else None)
-            return _subplan(wavn_s, isoid_s, elow_s, gf_s, s0, e0,
+            return _subplan(wavn_s, isoid_s, elow_s, gf_s, sL0, sL1,
                             tw=tw, ntiles=ntiles, n_coarse=n_coarse,
                             halo_rep=float(halo.max()), classes=classes,
-                            lanes=lanes, wfn_tag=tag, line_weight=lwt)
+                            lanes=lanes, wfn_tag=tag, line_weight=lwt,
+                            start2=sR0, end2=sR1)
 
         shells = []
         for si, s in enumerate(strides):
-            lo_b = bound(s)
+            if s == 1 and absorb:
+                continue                 # folded into the near window
+            lo_b = bound(s) if s > 1 else near_b
             # The outermost decimated shell extends to 1.125*halo: its
             # per-line halo weight ramps over [0.875, 1.125]*halo, so
             # ramp lines must be bucketed (weight-zero beyond):
@@ -1074,16 +1160,10 @@ def make_banded_plans(wavn, isoid, elow, gf, wn_i: float, dwn: float,
             else:
                 hi_b = halo_wn if s == 1 else 1.125 * halo_wn
             ne = tw // s + 3 if s > 1 else tw
-            sL0 = np.searchsorted(wavn_s, tile_lo - hi_b, side="left")
-            sL1 = np.searchsorted(wavn_s, tile_lo - lo_b, side="left")
-            sR0 = np.searchsorted(wavn_s, tile_hi + lo_b, side="right")
-            sR1 = np.searchsorted(wavn_s, tile_hi + hi_b, side="right")
-            pL = (mk_far(sL0, sL1, ne, lo_b, s)
-                  if int((sL1 - sL0).max()) > 0 else None)
-            pR = (mk_far(sR0, sR1, ne, lo_b, s)
-                  if int((sR1 - sR0).max()) > 0 else None)
-            if pL is not None or pR is not None:
-                shells.append((pL, pR, s))
+            sL0, sL1, sR0, sR1 = side_ranges(lo_b, hi_b)
+            if int((sL1 - sL0).max()) > 0 or int((sR1 - sR0).max()) > 0:
+                shells.append((mk_far(sL0, sL1, sR0, sR1, ne, lo_b, s),
+                               None, s))
         far_plans.append(shells if shells else None)
     inv = np.empty_like(perm)
     inv[perm] = np.arange(len(perm))
