@@ -68,12 +68,14 @@ FAR_FACTOR = 24
 X_ASYM = 15.0
 
 # Relative per-element kernel costs for the planner's padded-eval cost
-# model (make_banded_plans absorption decision): the region-II-only
-# rational is ~4x less VPU work per element than the full w4, but the
-# shared per-element overhead (strength/width/mask chains in
-# _block_lines) narrows the whole-element gap:
+# model (make_banded_plans absorption decision).  Calibrated by a paired
+# wide-workload A/B: forcing absorption at R2_COST = 0.65 (which trades
+# 12.9 G r2 evals for 6.9 G extra w4 evals) measured +21% step time,
+# 0/9 pairs — i.e. a whole r2 element costs well under half a w4
+# element despite the shared strength/width/mask chains.  0.3 keeps the
+# absorption decision conservatively against converting r2 work to w4:
 W4_COST = 1.0
-R2_COST = 0.45
+R2_COST = 0.3
 
 
 @dataclasses.dataclass
